@@ -1,38 +1,871 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship north-rule pipeline on sf0.001 testdata.
+``queries()`` / ``oracle_sql()`` pair every implemented operator from
+SURVEY.md §2 with an ANSI-SQL oracle DuckDB runs on the same parquet views.
+Column names are aliased identically on both sides (driver hashes values
+after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_T = lambda sf_dir, name: f"{sf_dir}/{name}.parquet"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_T(sf_dir, name))
+
+
+# =====================================================================
+# entry — flagship: the north-rule parse→enrich→route→aggregate pipeline
+# =====================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pre-tokenized docs (derived from sf0.001 documents) through
+    parse→enrich→route→aggregate; returns the per-source aggregate sink."""
+    from sparklead.pipeline import parse_stage, enrich_stage, source_agg
 
+    docs = _read(spark, "/root/testdata/sf0.001", "documents")
+    # tokenize text -> int token ids (hash-bucketed vocab), the graft input shape
+    pretok = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(F.split("text", " "), lambda w: F.pmod(F.xxhash64(w), F.lit(10_000)).cast("int")).alias("tokens"),
+        F.size(F.split("text", " ")).cast("int").alias("n_tok"),
+        F.col("source"),
+    )
+    meta = docs.select("source").distinct().select(
+        "source",
+        F.when(F.pmod(F.xxhash64("source"), 7) == 0, "anomaly").otherwise("normal").alias("label"),
+        F.concat(F.lit("region"), F.pmod(F.xxhash64("source"), 4)).alias("region"),
+    )
+    return source_agg(enrich_stage(parse_stage(pretok), meta))
+
+
+# =====================================================================
+# queries — one per operator family (SURVEY.md §2) + training-data ops
+# =====================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # ---- §2.4 aggregations: SequenceEnhancer-style fused groupBy
+        "seq_aggregates": _q_seq_aggregates,
+        "events_by_type": _q_events_by_type,
+        "value_counts": _q_value_counts,
+        "group_bool_fold": _q_group_bool_fold,
+        "group_concat": _q_group_concat,
+        "distinct_seq": _q_distinct_seq,
+        # ---- §2.3 joins
+        "broadcast_enrich": _q_broadcast_enrich,
+        "semi_join_filter": _q_semi_join_filter,
+        "aggregate_back_join": _q_aggregate_back_join,
+        "interval_join": _q_interval_join,
+        # ---- §2.5 windows / order-dependent
+        "sessionize": _q_sessionize,
+        "item_cumsum": _q_item_cumsum,
+        "first_occurrence": _q_first_occurrence,
+        "backward_fill": _q_backward_fill,
+        "topk_per_group": _q_topk_per_group,
+        # ---- §2.2 projections / predicates / scalar fns
+        "field_split": _q_field_split,
+        "regex_extract_mask": _q_regex_extract_mask,
+        "json_decode": _q_json_decode,
+        "timestamp_bucket": _q_timestamp_bucket,
+        # ---- §2.7/§2.8 token/array ops
+        "words_stats": _q_words_stats,
+        "trigram_count": _q_trigram_count,
+        "vocabulary": _q_vocabulary,
+        # ---- §2.10 detectors
+        "rarity_score": _q_rarity_score,
+        "oov_score": _q_oov_score,
+        "nep_bigram": _q_nep_bigram,
+        "log_distance": _q_log_distance,
+        # ---- training-data ops (dedup / similarity / text)
+        "exact_dedup": _q_exact_dedup,
+        "minhash_signature": _q_minhash_signature,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "knn_cosine": _q_knn_cosine,
+        "embedding_mean_by_label": _q_embedding_mean_by_label,
+        "lang_quality": _q_lang_quality,
+        "doc_fingerprint": _q_doc_fingerprint,
+        # ---- TPC-H-style classics (scan pushdown / partial agg / join order)
+        "tpch_q1_pricing": _q_tpch_q1,
+        "tpch_join_enrich": _q_tpch_join,
+        # ---- non-SQL-expressible (rows-only checks)
+        "drain_templates": _q_drain_templates,
+        "simhash_groups": _q_simhash_groups,
+        "pipeline_source_agg": _q_pipeline_source_agg,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------- §2.4
+
+def _q_seq_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused SequenceEnhancer aggregate over events (user_id as seq_id)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("user_id").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("seq_len"),
+            F.min("ts").alias("start_time"),
+            F.max("ts").alias("end_time"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_sec"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.sum((F.col("value") > 1).cast("int")).alias("val_over1"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-counts / occurrences (AEL.py:174-180 analog)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_group_bool_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """any/all label fold per group (adfa.py:62-68 analog)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(F.col("user_id").alias("seq_id")).agg(
+        F.max((F.col("event_type") == "error").cast("int")).cast("boolean").alias("anomaly"),
+        F.min((F.col("event_type") != "error").cast("int")).cast("boolean").alias("all_normal"),
+        F.round(F.avg((F.col("event_type") == "error").cast("double")), 6).alias("ano_ratio"),
+    )
+
+
+def _q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered group-concat (lo2.py:204 analog) — order key = event_id."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("event_id", "event_type"))), lambda s: s["event_type"]
+    )
+    return ev.groupBy(F.col("user_id").alias("seq_id")).agg(
+        F.concat_ws("\n", ordered).alias("joined")
+    )
+
+
+def _q_distinct_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(F.col("user_id").alias("seq_id")).distinct()
+
+
+# ---------------------------------------------------------------- §2.3
+
+def _q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label join: small dim broadcast (hdfs.py:25 analog; customer→nation)."""
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.round(F.sum("c_acctbal"), 4).alias("sum_bal"))
+    )
+
+
+def _q_semi_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-reducer semi-join (base.py:140): keep events of kept seqs."""
+    ev = _read(spark, sf_dir, "events")
+    kept = ev.select(F.col("user_id").alias("seq_id")).distinct().filter(F.col("seq_id") % 10 == 0)
+    return (
+        ev.join(kept, ev.user_id == kept.seq_id, "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_aggregate_back_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceEnhancer join-back shape (sequence.py:15): agg joined to seq table."""
+    ev = _read(spark, sf_dir, "events")
+    seqs = ev.select(F.col("user_id").alias("seq_id")).distinct()
+    agg = ev.groupBy(F.col("user_id").alias("seq_id")).agg(F.count(F.lit(1)).alias("seq_len"))
+    return seqs.join(agg, "seq_id")
+
+
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (nezha.py:458-516): orders within 30d after cust's first order."""
+    orders = _read(spark, sf_dir, "orders")
+    first = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(F.min("o_orderdate").alias("t0"))
+    j = orders.join(
+        first,
+        (orders.o_custkey == first.custkey)
+        & (orders.o_orderdate > first.t0)
+        & (orders.o_orderdate <= F.date_add(first.t0, 30)),
+    )
+    return j.groupBy("custkey").agg(F.count(F.lit(1)).alias("n_in_window"))
+
+
+# ---------------------------------------------------------------- §2.5
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline-merge/sessionization pattern (raw.py:173-178): cumsum of gap>30min flags."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        (F.coalesce(F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)), F.lit(10**9)) > 1800).cast("int"),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+def _q_item_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative count of error events (eventlog.py:433-489)."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    w = Window.orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        F.sum((F.col("event_type") == "error").cast("int")).over(w).alias("cumu_items_an"),
+    )
+
+
+def _q_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_first_distinct flag (eventlog.py:447)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", (F.row_number().over(w) == 1).alias("is_first")
+    ).filter(F.col("is_first"))
+
+
+def _q_backward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fill_null(strategy='backward') per user (raw.py:165-169); nulls injected on value<5."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.when(F.col("value") >= 5, F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(0, Window.unboundedFollowing)
+    return ev.select(
+        "event_id", F.round(F.first(v, ignorenulls=True).over(w), 6).alias("value_filled")
+    )
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", "value")
+    )
+
+
+# ---------------------------------------------------------------- §2.2
+
+def _q_field_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-arity split, last field keeps remainder (base.py:101-107)."""
+    docs = _read(spark, sf_dir, "documents")
+    parts = F.split("text", " ", 3)
+    return docs.select(
+        "doc_id",
+        parts.getItem(0).alias("f1"),
+        parts.getItem(1).alias("f2"),
+        parts.getItem(2).alias("rest"),
+    )
+
+
+def _q_regex_extract_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract + masking regexp_replace (hdfs.py:33, eventlog.py:403-429)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).alias("k_str"),
+        F.regexp_replace("props", r"\d+", "<NUM>").alias("props_masked"),
+    )
+
+
+def _q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json struct decode (nezha.py:280-305, gelf.py:16-17)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.from_json("props", "k int").getField("k").alias("k")
+    )
+
+
+def _q_timestamp_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp scalar functions: truncation + epoch + parts."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour_bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------- §2.7/2.8
+
+def _q_words_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """words() enhancer over documents: token counts per row (eventlog.py:42-51)."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("e_words_len"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+    )
+
+
+def _q_trigram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram extraction via the 3-shift trick; distinct count per doc
+    (set-equality contract, eventlog.py:82-107)."""
+    docs = _read(spark, sf_dir, "documents")
+    from sparklead.enhancers.eventlog import trigrams
+
+    t = trigrams(docs.select("doc_id", "text"), "text")
+    return t.select("doc_id", F.size(F.array_distinct("e_trigrams")).alias("n_distinct_trigrams"))
+
+
+def _q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountVectorizer-style vocabulary build (anomaly_detection.py:261-270)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 10)
+    )
+
+
+# ---------------------------------------------------------------- §2.10 detectors
+
+def _train_test_docs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("e_words"))
+    return docs.filter(F.col("doc_id") % 5 != 0), docs.filter(F.col("doc_id") % 5 == 0)
+
+
+def _q_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparklead.detectors.rarity import rarity_fit, rarity_score
+
+    train, test = _train_test_docs(spark, sf_dir)
+    st = rarity_fit(train, "e_words")
+    out = rarity_score(test, st, key_col="doc_id", tokens_col="e_words")
+    return out.select("doc_id", F.round("rarity_score", 6).alias("rarity_score"), "is_ano")
+
+
+def _q_oov_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparklead.detectors.oov import oov_score
+
+    train, test = _train_test_docs(spark, sf_dir)
+    return oov_score(test, train, key_col="doc_id", tokens_col="e_words").select(
+        "doc_id", "oov_score", "is_ano"
+    )
+
+
+def _q_nep_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram next-event counts over per-user event streams (§2.10 NEP core)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev"), F.col("event_type").alias("curr")
+    ).filter(F.col("prev").isNotNull())
+    return pairs.groupBy("prev", "curr").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_log_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogDistance cosine/jaccard/containment between two sources' term vectors."""
+    from sparklead.detectors.logdistance import log_distances
+
+    docs = _read(spark, sf_dir, "documents").select("source", F.split("text", " ").alias("e_words"))
+    a = docs.filter(F.col("source") == "src0")
+    b = docs.filter(F.col("source") == "src1")
+    d = log_distances(a, b, "e_words")
+    return d.select(
+        F.round("cosine", 6).alias("cosine"),
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("containment", 6).alias("containment"),
+    )
+
+
+# ---------------------------------------------------------------- training-data ops
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparklead.dedup import exact_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select("content_hash", "n_dups", "keep_id")
+
+
+def _q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5-min per salt) — engine-portable, oracle-checked."""
+    from sparklead.dedup import minhash_signature, word_shingles
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sig = minhash_signature(word_shingles("text", 3), 4)
+    return docs.select("doc_id", sig.getItem(0).alias("mh0"), sig.getItem(3).alias("mh3"))
+
+
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard on a small id window (verification kernel)."""
+    from sparklead.dedup import word_shingles
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = docs.select(F.col("doc_id").alias("id"), word_shingles("text", 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.greatest(F.size(F.array_union("a.sh", "b.sh")), F.lit(1)).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > 0.2)
+    )
+
+
+def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for query vecs (ANN baseline)."""
+    from sparklead.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(q, emb, k=3)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def _q_embedding_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise embedding mean per label (sequence.py:82-89 analog)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        e.groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("mean_x"))
+        .filter(F.col("pos") < 4)
+    )
+
+
+def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparklead.textstats import lang_id, quality_score, token_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    out = quality_score(lang_id(token_counts(docs)))
+    return out.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "lang_pred",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparklead.textstats import fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------- TPC-H classics
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- rows-only (no SQL oracle)
+
+def _q_drain_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase Drain mining on the synthetic corpus: template table."""
+    from sparklead import synth
+    from sparklead.enhancers import eventlog as E
+    from sparklead.mining.drain import DrainMiner
+    from sparklead.sources.hdfs import load_hdfs_events
+
+    raw = synth.raw_log_corpus(spark, 4000)
+    ev = load_hdfs_events(raw)
+    df = E.words(E.normalize(ev), "e_message_normalized")
+    miner = DrainMiner().fit(df, "e_words")
+    return miner.templates_df(spark).select("template_id", "template", "count")
+
+
+def _q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparklead.dedup import simhash_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    return simhash_dedup(docs, "toks")
+
+
+def _q_pipeline_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule pipeline over deterministic synthetic pretokenized input."""
+    from sparklead import synth
+    from sparklead.pipeline import parse_stage, enrich_stage, source_agg
+
+    pt = synth.pretokenized(spark, 20_000)
+    meta = synth.source_meta(spark)
+    return source_agg(enrich_stage(parse_stage(pt), meta))
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparklead.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 500)
+    return extract_features(media).select("media_id", "kind", "n_bytes")
+
+
+# =====================================================================
+# oracle_sql — DuckDB equivalents (same column names, same values)
+# =====================================================================
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "seq_aggregates": """
+            SELECT user_id AS seq_id,
+                   count(*) AS seq_len,
+                   min(ts) AS start_time,
+                   max(ts) AS end_time,
+                   date_diff('second', min(ts), max(ts)) AS duration_sec,
+                   round(avg(value), 6) AS avg_value,
+                   sum(CASE WHEN value > 1 THEN 1 ELSE 0 END) AS val_over1
+            FROM events GROUP BY user_id ORDER BY seq_id
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "value_counts": "SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang",
+        "group_bool_fold": """
+            SELECT user_id AS seq_id,
+                   max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::boolean AS anomaly,
+                   min(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)::boolean AS all_normal,
+                   round(avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END), 6) AS ano_ratio
+            FROM events GROUP BY user_id
+        """,
+        "group_concat": """
+            SELECT user_id AS seq_id,
+                   string_agg(event_type, chr(10) ORDER BY event_id) AS joined
+            FROM events WHERE event_id < 200 GROUP BY user_id
+        """,
+        "distinct_seq": "SELECT DISTINCT user_id AS seq_id FROM events",
+        "broadcast_enrich": """
+            SELECT n.n_name AS nation, count(*) AS n_cust, round(sum(c.c_acctbal), 4) AS sum_bal
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "semi_join_filter": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0)
+            GROUP BY event_type
+        """,
+        "aggregate_back_join": """
+            SELECT s.seq_id, a.seq_len
+            FROM (SELECT DISTINCT user_id AS seq_id FROM events) s
+            JOIN (SELECT user_id AS seq_id, count(*) AS seq_len FROM events GROUP BY user_id) a
+            USING (seq_id)
+        """,
+        "interval_join": """
+            WITH first AS (SELECT o_custkey AS custkey, min(o_orderdate) AS t0 FROM orders GROUP BY o_custkey)
+            SELECT f.custkey, count(*) AS n_in_window
+            FROM orders o JOIN first f ON o.o_custkey = f.custkey
+             AND o.o_orderdate > f.t0 AND o.o_orderdate <= f.t0 + INTERVAL 30 DAY
+            GROUP BY f.custkey
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN coalesce(epoch(ts) - epoch(lag(ts) OVER w), 1000000000) > 1800 THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, event_id,
+                (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id))::bigint AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events, min(event_id) AS first_event
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "item_cumsum": """
+            SELECT event_id,
+                   (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS cumu_items_an
+            FROM events WHERE event_id < 1000
+        """,
+        "first_occurrence": """
+            SELECT event_id, is_first FROM (
+              SELECT event_id,
+                     row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) = 1 AS is_first
+              FROM events
+            ) WHERE is_first
+        """,
+        "backward_fill": """
+            SELECT event_id,
+                   round(first_value(CASE WHEN value >= 5 THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS value_filled
+            FROM events WHERE event_id < 2000
+        """,
+        "topk_per_group": """
+            SELECT event_type, rnk, event_id, value FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+              FROM events
+            ) WHERE rnk <= 3
+        """,
+        "field_split": """
+            SELECT doc_id,
+                   split_part(text, ' ', 1) AS f1,
+                   split_part(text, ' ', 2) AS f2,
+                   CASE WHEN len(string_split(text, ' ')) >= 3
+                        THEN array_to_string(string_split(text, ' ')[3:], ' ')
+                   END AS rest
+            FROM documents
+        """,
+        "regex_extract_mask": """
+            SELECT event_id,
+                   regexp_extract(props, '"k": (\\d+)', 1) AS k_str,
+                   regexp_replace(props, '\\d+', '<NUM>', 'g') AS props_masked
+            FROM events
+        """,
+        "json_decode": "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events",
+        "timestamp_bucket": """
+            SELECT date_trunc('hour', ts) AS hour_bucket, count(*) AS n FROM events GROUP BY 1
+        """,
+        "words_stats": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS e_words_len,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                   string_split(text, ' ')[1] AS first_word,
+                   string_split(text, ' ')[-1] AS last_word
+            FROM documents
+        """,
+        "trigram_count": """
+            SELECT doc_id,
+                   len(list_distinct([substring(text, i, 3)
+                                      FOR i IN range(1, greatest(len(text) - 1, 1))])) AS n_distinct_trigrams
+            FROM documents
+        """,
+        "vocabulary": """
+            SELECT token, count(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token HAVING count(*) >= 10
+        """,
+        "rarity_score": """
+            WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+                 test  AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            freq AS (
+              SELECT token, count(*) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS token FROM train)
+              GROUP BY token
+            ), tot AS (SELECT sum(freq) AS total FROM freq),
+            scored AS (
+              SELECT token, CASE WHEN freq / total > 0.01 THEN 0.0
+                                 ELSE pow(-ln(freq / total), 3) END AS score
+              FROM freq, tot
+            ),
+            test_tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM test),
+            per_doc AS (
+              SELECT t.doc_id, sum(s.score) AS dot, count(DISTINCT t.token) AS nnz
+              FROM test_tok t JOIN scored s USING (token)
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   round(coalesce(p.dot / greatest(p.nnz, 1), 0.0), 6) AS rarity_score,
+                   CASE WHEN coalesce(p.dot / greatest(p.nnz, 1), 0.0) > 10 THEN 1 ELSE 0 END AS is_ano
+            FROM test d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "oov_score": """
+            WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+                 test  AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            vocab AS (
+              SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM train
+            ),
+            test_tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM test),
+            per_doc AS (
+              SELECT t.doc_id, sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::bigint AS oov_score
+              FROM test_tok t LEFT JOIN vocab v USING (token)
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, coalesce(p.oov_score, 0)::bigint AS oov_score,
+                   (CASE WHEN coalesce(p.oov_score, 0) > 1 THEN 1 ELSE 0 END)::int AS is_ano
+            FROM test d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "nep_bigram": """
+            SELECT prev, curr, count(*) AS n FROM (
+              SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+                     event_type AS curr
+              FROM events
+            ) WHERE prev IS NOT NULL GROUP BY prev, curr
+        """,
+        "log_distance": """
+            WITH ta AS (
+              SELECT token, count(*) AS a FROM (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE source = 'src0'
+              ) GROUP BY token
+            ), tb AS (
+              SELECT token, count(*) AS b FROM (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE source = 'src1'
+              ) GROUP BY token
+            ), j AS (
+              SELECT coalesce(a, 0) AS a, coalesce(b, 0) AS b
+              FROM ta FULL OUTER JOIN tb USING (token)
+            )
+            SELECT round(sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))), 6) AS cosine,
+                   round(sum(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END) / count(*)::double, 6) AS jaccard,
+                   round(sum(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END)
+                         / sum(CASE WHEN a > 0 THEN 1 ELSE 0 END)::double, 6) AS containment
+            FROM j
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "minhash_signature": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                    FOR i IN range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]) AS shingles
+              FROM documents WHERE doc_id < 100
+            )
+            SELECT doc_id,
+                   list_min([md5(s || '#0') FOR s IN shingles]) AS mh0,
+                   list_min([md5(s || '#3') FOR s IN shingles]) AS mh3
+            FROM sh
+        """,
+        "ngram_jaccard_pairs": """
+            WITH sh AS (
+              SELECT doc_id AS id,
+                     list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                    FOR i IN range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]) AS sh
+              FROM documents WHERE doc_id < 40
+            )
+            SELECT a.id AS a_id, b.id AS b_id,
+                   round(len(list_intersect(a.sh, b.sh))
+                         / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)::double, 6) AS jaccard
+            FROM sh a JOIN sh b ON a.id < b.id
+            WHERE len(list_intersect(a.sh, b.sh))
+                  / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)::double > 0.2
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_dot_product(q.qv::DOUBLE[], c.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                          * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cosine
+              FROM q JOIN embeddings c ON q.query_id <> c.vec_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
+        "embedding_mean_by_label": """
+            SELECT label, pos, round(avg(x), 6) AS mean_x FROM (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
+              FROM embeddings
+            ) WHERE pos < 4 GROUP BY label, pos
+        """,
+        "lang_quality": _LANG_QUALITY_SQL,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(
+                     list_sort([md5(substring(text, i, 8))
+                                FOR i IN range(1, greatest(len(text) - 7, 1) + 1)])[1:4], '')) AS fingerprint
+            FROM documents
+        """,
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_join_enrich": """
+            SELECT n.n_name AS nation, count(*) AS n_orders, round(sum(o.o_totalprice), 4) AS sum_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        # drain_templates / simhash_groups / pipeline_source_agg /
+        # multimodal_features: non-SQL-expressible (stateful mining, 64-bit
+        # hash folds, synthetic generators, pandas-UDF plumbing) -> rows-only.
+    }
+
+
+_LANG_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS words,
+         len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS n_bpe_tokens
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, words, n_bpe_tokens,
+    len(words) AS n_ws_tokens,
+    len(list_filter([lower(w) FOR w IN words],
+        w -> w IN ('the','a','of','and','to','in','is','that','it','for')))
+      / greatest(len(words), 1)::double AS sw_en,
+    len(list_filter([lower(w) FOR w IN words],
+        w -> w IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu')))
+      / greatest(len(words), 1)::double AS sw_de,
+    len(list_filter([lower(w) FOR w IN words],
+        w -> w IN ('el','la','los','y','es','un','una','por','en','que')))
+      / greatest(len(words), 1)::double AS sw_es,
+    len(list_filter([lower(w) FOR w IN words],
+        w -> w IN ('le','la','les','et','est','un','une','pour','dans','que')))
+      / greatest(len(words), 1)::double AS sw_fr,
+    len(regexp_extract_all(text, '[^\w\s]')) / greatest(len(text), 1)::double AS punct_ratio,
+    len(text)::double / greatest(len(words), 1)::double AS mean_word_len
+  FROM base
+)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+  CASE WHEN greatest(sw_de, sw_en, sw_es, sw_fr) > 0 THEN
+    CASE greatest(sw_de, sw_en, sw_es, sw_fr)
+      WHEN sw_de THEN 'de' WHEN sw_en THEN 'en' WHEN sw_es THEN 'es' ELSE 'fr' END
+  ELSE 'unknown' END AS lang_pred,
+  round(sw_en, 6) AS stopword_ratio,
+  round(((CASE WHEN len(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.25 END)
+       + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END)
+       + (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+       + (CASE WHEN sw_en >= 0.05 THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS quality
+FROM scored
+"""

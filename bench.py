@@ -1,0 +1,121 @@
+"""sparklead benchmark harness.
+
+Default mode: run the headline query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+--pipeline-only N : run only the north-rule pipeline over N synthetic
+  pre-tokenized docs and print one JSON line with seqs/sec (used by the
+  scaling harness at two parallelism levels; see tools/scaling_bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "pipeline_source_agg",
+    "seq_aggregates",
+    "sessionize",
+    "tpch_q1_pricing",
+    "tpch_join_enrich",
+    "broadcast_enrich",
+    "rarity_score",
+    "oov_score",
+    "nep_bigram",
+    "vocabulary",
+    "exact_dedup",
+    "minhash_signature",
+    "knn_cosine",
+    "lang_quality",
+    "doc_fingerprint",
+    "trigram_count",
+    "drain_templates",
+]
+
+
+def _mk_spark(app: str):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sparklead import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+    spark = get_spark(app, master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark, int(cpus)
+
+
+def run_headline() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark, cpus = _mk_spark("sparklead-bench")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+        "cpus": cpus,
+    }
+    spark.stop()
+    return out
+
+
+def run_pipeline_only(n_docs: int) -> dict:
+    import shutil
+    import tempfile
+
+    spark, cpus = _mk_spark("sparklead-pipeline-bench")
+    from sparklead import synth
+    from sparklead.pipeline import run_pipeline
+
+    # generate + materialize input first so the measured window is the
+    # pipeline, not the generator
+    tmp_in = tempfile.mkdtemp(prefix="sparklead_in_")
+    tmp_out = tempfile.mkdtemp(prefix="sparklead_out_")
+    try:
+        synth.pretokenized(spark, n_docs, partitions=cpus * 4).write.mode("overwrite").parquet(tmp_in)
+        df = spark.read.parquet(tmp_in)
+        meta = synth.source_meta(spark)
+        t0 = time.time()
+        res = run_pipeline(df, meta, out_dir=tmp_out, resume=False)
+        wall = time.time() - t0
+        out = {
+            "metric": "pipeline parse->enrich->route->aggregate throughput",
+            "value": round(n_docs / wall, 1),
+            "unit": "seqs/sec",
+            "wall_sec": round(wall, 3),
+            "n_docs": n_docs,
+            "cpus": cpus,
+            "sink_rows": {k: m["rows"] for k, m in res["manifests"].items()},
+        }
+    finally:
+        shutil.rmtree(tmp_in, ignore_errors=True)
+        shutil.rmtree(tmp_out, ignore_errors=True)
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-only":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+        print(json.dumps(run_pipeline_only(n)))
+    else:
+        print(json.dumps(run_headline()))

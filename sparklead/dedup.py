@@ -1,0 +1,186 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four families work without any Python UDF — hashing is md5/xxhash64
+(JVM-side), signatures are higher-order-function folds, and candidate
+generation is an equi-join on LSH band keys so the shuffle is
+bucket-bounded, never O(n^2). Verification (exact Jaccard) runs only on
+bucket-colliding candidate pairs.
+
+Design notes for 100 TB:
+* exact: one hash-agg on md5(text) — algebraic, map-side partials, no skew
+  issue beyond duplicate-heavy keys which AQE splits.
+* minhash: signature = per-row fold over shingles (narrow); the only shuffle
+  is groupBy(band_key). Band keys are md5-uniform -> no skew by design.
+* simhash: 64-bit signature per row, narrow; near-dup candidates join on the
+  full signature (exact) or banded 16-bit chunks (hamming<=k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical docs: (content_hash, n_dups, keep_id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(key_col).alias("keep_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep the min-key representative of each identical-content group."""
+    keep = exact_duplicates(df, text_col, key_col).select(F.col("keep_id").alias(key_col))
+    return df.join(keep, key_col, "left_semi")
+
+
+# ------------------------------------------------------------------ shingles / minhash
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (HOF, no UDF)."""
+    w = F.split(F.col(text_col), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: per salt i, the lexicographic min of md5(shingle||i).
+
+    md5 strings order-uniformly, so string-min == numeric-min of a uniform
+    hash — engine-portable (same values in DuckDB, used by the oracle).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit("#"), i.cast("string"))))),
+    )
+
+
+def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Band keys: md5 of each contiguous signature slice."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat(
+            b.cast("string"), F.lit(":"), F.md5(F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), "|"))
+        ),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs (a_id < b_id) with their band collision count."""
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(key_col).alias("id"),
+        F.explode(minhash_bands(minhash_signature(word_shingles(text_col, shingle_n), num_hashes), bands, rows)).alias("band"),
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_band_hits"))
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs; keep pairs >= threshold."""
+    sh = df.select(F.col(key_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
+    j = (
+        candidates.join(sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id")
+        .join(sh.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter") / F.greatest("uni", F.lit(1)).cast("double"))
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array, as bigint — pure HOFs.
+
+    Fold: for each bit b, sum over tokens of +1/-1 by xxhash64(token) bit b;
+    signature bit = (sum > 0). No shuffle, no UDF.
+    """
+    def masks() -> list[int]:
+        # bit 63's mask overflows signed long as 1<<63; use the sign bit value
+        return [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+    bitsums = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(F.xxhash64(t).bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1) for m in masks()
+            ]),
+            lambda a, x: a + x,
+        ),
+    )
+    sig = F.lit(0).cast("long")
+    for b, m in enumerate(masks()):
+        sig = sig.bitwiseOR(
+            F.when(F.element_at(bitsums, b + 1) > 0, F.lit(m).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def simhash_dedup(df: DataFrame, tokens_col: str, key_col: str = "doc_id") -> DataFrame:
+    """Exact-signature SimHash groups: (simhash, n_dups, keep_id)."""
+    return (
+        df.select(F.col(key_col), simhash64(F.col(tokens_col)).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(key_col).alias("keep_id"))
+    )
+
+
+# ------------------------------------------------------------------ embedding near-dup
+
+def embedding_neardup(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via sign-LSH bucketing + in-bucket verify.
+
+    Buckets on the sign pattern of 8 deterministic pseudo-hyperplanes
+    (hash-derived), so the join is bucket-bounded. Within-bucket pairs are
+    verified with exact cosine.
+    """
+    from sparklead.similarity import cosine_expr, signbucket_expr
+
+    with_b = df.select(
+        F.col(key_col).alias("id"), F.col(emb_col).alias("v"), signbucket_expr(F.col(emb_col), 8).alias("bucket")
+    )
+    a, b = with_b.alias("a"), with_b.alias("b")
+    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+    return (
+        pairs.select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,198 @@
+"""Event-level enhancers: masking/normalization, token derivation, lengths.
+
+Spark-native re-expression of the reference's EventLogEnhancer
+(/root/reference/loglead/enhancers/eventlog.py). Everything here is a narrow
+transformation (withColumn over built-in expressions) — zero shuffles, fully
+inside whole-stage codegen; the reference's eval-fused Polars chain
+(eventlog.py:403-429) is matched by Catalyst's own expression fusion.
+
+Parity notes:
+* Masking regexes are the reference's capture-group variants applied TWICE
+  (eventlog.py:12-23, 421-425): the regex consumes the delimiter, so adjacent
+  matches need a second pass. This is deliberately replicated — the
+  correctness contract is per-row token-array equality (BASELINE.json), so we
+  must not "fix" the overlap quirk. Only syntax differs: Java named groups
+  are ``(?<name>…)`` and replacements ``${name}`` (both supported natively).
+* ``words`` splits on a single literal space, keeping empty tokens
+  (eventlog.py:45 semantics).
+* ``trigrams`` uses the 3-shift extract_all trick (eventlog.py:82-107);
+  output order is unspecified by design — set equality is the contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# The drain3-default masking rules, reference eventlog.py:12-23 (capture-group
+# form, Java-regex named-group syntax). Order matters: ID, IP, SEQ, SEQ2, HEX, NUM, CMD.
+MASKING_PATTERNS_DRAIN: list[tuple[str, str]] = [
+    ("${start}<ID>${end}", r"(?<start>[^A-Za-z0-9]|^)(([0-9a-f]{2,}:){3,}([0-9a-f]{2,}))(?<end>[^A-Za-z0-9]|$)"),
+    ("${start}<IP>${end}", r"(?<start>[^A-Za-z0-9]|^)(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})(?<end>[^A-Za-z0-9]|$)"),
+    ("${start}<SEQ>${end}", r"(?<start>[^A-Za-z0-9]|^)([0-9a-f]{6,} ?){3,}(?<end>[^A-Za-z0-9]|$)"),
+    ("${start}<SEQ>${end}", r"(?<start>[^A-Za-z0-9]|^)([0-9A-F]{4} ?){4,}(?<end>[^A-Za-z0-9]|$)"),
+    ("${start}<HEX>${end}", r"(?<start>[^A-Za-z0-9]|^)(0x[a-f0-9A-F]+)(?<end>[^A-Za-z0-9]|$)"),
+    ("${start}<NUM>${end}", r"(?<start>[^A-Za-z0-9]|^)([\-\+]?\d+)(?<end>[^A-Za-z0-9]|$)"),
+    ("${cmd}<CMD>", r"(?<cmd>executed cmd )(\".+?\")"),
+]
+
+
+def normalize_expr(
+    column: str = "m_message",
+    regexs: list[tuple[str, str]] = MASKING_PATTERNS_DRAIN,
+    to_lower: bool = False,
+    twice: bool = True,
+) -> Column:
+    """Masked first line of the message as a single fused Column expression."""
+    expr = F.split(F.col(column), "\n").getItem(0)  # first line only (eventlog.py:406)
+    if to_lower:
+        expr = F.lower(expr)
+    for key, pattern in regexs:
+        expr = F.regexp_replace(expr, pattern, key)
+        if twice:
+            expr = F.regexp_replace(expr, pattern, key)
+    return expr
+
+
+def normalize(df: DataFrame, column: str = "m_message", to_lower: bool = False, twice: bool = True) -> DataFrame:
+    """Add ``e_message_normalized`` (reference eventlog.py:403-429)."""
+    if "e_message_normalized" in df.columns:
+        return df
+    return df.withColumn("e_message_normalized", normalize_expr(column, to_lower=to_lower, twice=twice))
+
+
+def words(df: DataFrame, column: str = "m_message") -> DataFrame:
+    """Add ``e_words`` (split on single space) + ``e_words_len`` (eventlog.py:42-51)."""
+    if "e_words" in df.columns:
+        return df
+    return df.withColumn("e_words", F.split(F.col(column), " ")).withColumn(
+        "e_words_len", F.size("e_words")
+    )
+
+
+def alphanumerics(df: DataFrame, column: str = "m_message") -> DataFrame:
+    """Add ``e_alphanumerics`` = all [a-zA-Z0-9]+ runs + length (eventlog.py:54-64)."""
+    if "e_alphanumerics" in df.columns:
+        return df
+    return df.withColumn(
+        "e_alphanumerics", F.regexp_extract_all(F.col(column), F.lit(r"[a-zA-Z\d]+"), F.lit(0))
+    ).withColumn("e_alphanumerics_len", F.size("e_alphanumerics"))
+
+
+def trigrams(df: DataFrame, column: str = "m_message") -> DataFrame:
+    """Add ``e_trigrams``: all char 3-grams via the 3-shift trick (eventlog.py:82-107).
+
+    No UDF: three shifted non-overlapping extract_all passes concatenated.
+    Order is 'not arranged' in the reference too — set equality is the contract.
+    """
+    if "e_trigrams" in df.columns:
+        return df
+
+    def shifted(start: int) -> Column:
+        return F.regexp_extract_all(F.substring(F.col(column), start + 1, 1 << 30), F.lit(".{3}"), F.lit(0))
+
+    return df.withColumn(
+        "e_trigrams", F.concat(shifted(0), shifted(1), shifted(2))
+    ).withColumn("e_trigrams_len", F.size("e_trigrams"))
+
+
+def length(df: DataFrame, column: str = "m_message") -> DataFrame:
+    """Add ``e_chars_len``, ``e_lines_len``, ``e_event_id_len`` (eventlog.py:392-401)."""
+    if "e_chars_len" in df.columns:
+        return df
+    return (
+        df.withColumn("e_chars_len", F.length(column))
+        .withColumn("e_lines_len", F.regexp_count(F.col(column), F.lit(r"(\n|\r|\r\n)")))
+        .withColumn("e_event_id_len", F.lit(1))
+    )
+
+
+def event_id(df: DataFrame, column: str = "e_message_normalized", parser: str = "mask") -> DataFrame:
+    """Deterministic template id: 'e' + md5(template)[:8].
+
+    The reference's md5[:8] id convention (AEL.py:32, eventlog.py:329,358);
+    unlike drain3's arrival-order ids (eventlog.py:191) this is deterministic
+    under any partitioning — required for distributed equality.
+    """
+    out = f"e_event_{parser}_id"
+    if out in df.columns:
+        return df
+    return df.withColumn(out, F.concat(F.lit("e"), F.substring(F.md5(F.col(column)), 1, 8)))
+
+
+def item_cumsum(
+    df: DataFrame,
+    column: str = "e_message_normalized",
+    order_cols: tuple[str, ...] = ("m_timestamp",),
+    ano_only: bool = True,
+    unique_only: bool = True,
+    descending: bool = False,
+    out_column: str | None = None,
+) -> DataFrame:
+    """Running count of (optionally first-distinct, optionally anomalous) items.
+
+    Reference item_cumsum/item_cumsum2 (eventlog.py:433-489). Polars relies on
+    implicit row order; here order is explicit (SURVEY.md §4.2 #5). The running
+    total is a global ordered window — inherently sequential — so this op is
+    for report-scale outputs; at 100 TB prefer per-seq windows.
+    ``unique_only`` = first-occurrence flag via row_number over the item window.
+    """
+    if out_column is None:
+        out_column = ("cumu_items_" + ("un" if unique_only else "") + ("an" if ano_only else "")) or "cumu_items"
+    order = [F.col(c).desc() if descending else F.col(c).asc() for c in order_cols]
+    cond = F.lit(True)
+    if unique_only:
+        first_w = Window.partitionBy(column).orderBy(*order)
+        df = df.withColumn("_first_flag", F.row_number().over(first_w) == 1)
+        cond = F.col("_first_flag")
+    if ano_only:
+        cond = cond & F.col("anomaly")
+    cum_w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.withColumn(out_column, F.sum(cond.cast("int")).over(cum_w))
+    return out.drop("_first_flag") if unique_only else out
+
+
+class EventLogEnhancer:
+    """Thin chainable wrapper mirroring the reference API (eventlog.py:30+)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def _require(self, cols: list[str]) -> None:
+        missing = [c for c in cols if c not in self.df.columns]
+        if missing:
+            raise ValueError(f"Missing prerequisites for enrichment: {', '.join(missing)}")
+
+    def normalize(self, to_lower: bool = False, twice: bool = True) -> DataFrame:
+        self._require(["m_message"])
+        self.df = normalize(self.df, to_lower=to_lower, twice=twice)
+        return self.df
+
+    def words(self, column: str = "m_message") -> DataFrame:
+        self._require([column])
+        self.df = words(self.df, column)
+        return self.df
+
+    def alphanumerics(self, column: str = "m_message") -> DataFrame:
+        self._require([column])
+        self.df = alphanumerics(self.df, column)
+        return self.df
+
+    def trigrams(self, column: str = "m_message") -> DataFrame:
+        self._require([column])
+        self.df = trigrams(self.df, column)
+        return self.df
+
+    def length(self, column: str = "m_message") -> DataFrame:
+        self._require([column])
+        self.df = length(self.df, column)
+        return self.df
+
+    def event_id(self, column: str = "e_message_normalized", parser: str = "mask") -> DataFrame:
+        self._require([column])
+        self.df = event_id(self.df, column, parser)
+        return self.df
+
+    def item_cumsum(self, **kw) -> DataFrame:
+        self.df = item_cumsum(self.df, **kw)
+        return self.df

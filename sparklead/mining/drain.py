@@ -1,0 +1,215 @@
+"""Two-phase distributed Drain-style template mining.
+
+The reference wraps drain3 and feeds it ONE ROW AT A TIME through a shared
+mutable miner object (/root/reference/loglead/enhancers/eventlog.py:116-199,
+parsers/drain3/drain.py:10-27) — sequential, stateful, arrival-order ids.
+That design cannot distribute, so this is a redesign (SURVEY.md §2.9):
+
+  Phase 1 (distributed, mapInPandas): each partition mines its own local
+      template set with the same core Drain idea — bucket by token count,
+      greedy similarity clustering (token-position agreement >= sim_th,
+      disagreeing positions wildcarded to '<*>').
+  Phase 2 (driver): the per-partition template sets are tiny (bounded by
+      max_clusters per partition); merge them with the same rule after a
+      deterministic sort, producing the final template table.
+  Phase 3 (distributed, broadcast): the final table is broadcast and each
+      event is assigned its best-matching template via an Arrow-batched
+      pandas UDF — a map-side lookup, zero shuffle.
+
+Template ids are ``'e' + md5(template)[:8]`` — deterministic under any
+partitioning, unlike drain3's first-appearance counters (eventlog.py:191);
+parity with the reference is therefore distributional (cluster count / size
+distribution), per SURVEY.md §7 stage 3.
+
+State persistence: ``templates_df`` round-trips through parquet
+(save_templates / load_templates), the Spark analogue of drain3's
+FilePersistence snapshots (parsers/drain3/drain3.ini:1-3) and the north
+rule's resumable checkpoint.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WILDCARD = "<*>"
+
+
+def _similarity(a: list[str], b: list[str]) -> float:
+    """Fraction of positions where tokens agree; wildcard matches anything."""
+    if not a:
+        return 1.0
+    same = sum(1 for x, y in zip(a, b) if x == y or x == WILDCARD or y == WILDCARD)
+    return same / len(a)
+
+
+def _merge_into(template: list[str], tokens: list[str]) -> list[str]:
+    return [x if x == y else WILDCARD for x, y in zip(template, tokens)]
+
+
+class _LocalDrain:
+    """In-memory greedy Drain core used identically in phase 1 and phase 2."""
+
+    def __init__(self, sim_th: float = 0.4, max_clusters: int = 1024):
+        self.sim_th = sim_th
+        self.max_clusters = max_clusters
+        # (token_count, first_token_or_wildcard) -> list of [template, count]
+        self.buckets: dict[tuple[int, str], list[list]] = {}
+        self.n_clusters = 0
+
+    def _keys(self, tokens: list[str]) -> list[tuple[int, str]]:
+        n = len(tokens)
+        first = tokens[0] if tokens else ""
+        return [(n, first), (n, WILDCARD)]
+
+    def add(self, tokens: list[str], count: int = 1) -> None:
+        best, best_sim = None, -1.0
+        for key in self._keys(tokens):
+            for entry in self.buckets.get(key, ()):
+                sim = _similarity(entry[0], tokens)
+                if sim > best_sim:
+                    best, best_sim = entry, sim
+        if best is not None and best_sim >= self.sim_th:
+            merged = _merge_into(best[0], tokens)
+            if merged != best[0]:
+                # bucket key may change when the first token wildcards
+                self._remove(best)
+                best[0] = merged
+                self._insert(best)
+            best[1] += count
+        elif self.n_clusters < self.max_clusters:
+            entry = [list(tokens), count]
+            self._insert(entry)
+            self.n_clusters += 1
+        else:  # overflow: merge into closest regardless of threshold (drain3 caps at 1024 too)
+            if best is not None:
+                best[1] += count
+            else:
+                entry = [list(tokens), count]
+                self._insert(entry)
+
+    def _insert(self, entry: list) -> None:
+        tokens = entry[0]
+        key = (len(tokens), tokens[0] if tokens and tokens[0] != WILDCARD else WILDCARD)
+        self.buckets.setdefault(key, []).append(entry)
+
+    def _remove(self, entry: list) -> None:
+        tokens = entry[0]
+        key = (len(tokens), tokens[0] if tokens and tokens[0] != WILDCARD else WILDCARD)
+        lst = self.buckets.get(key, [])
+        if entry in lst:
+            lst.remove(entry)
+
+    def templates(self) -> list[tuple[list[str], int]]:
+        out = [(e[0], e[1]) for lst in self.buckets.values() for e in lst]
+        out.sort(key=lambda t: (len(t[0]), " ".join(t[0])))
+        return out
+
+
+def template_id(template_tokens: list[str]) -> str:
+    """'e' + md5(template)[:8] — reference id convention (AEL.py:32, eventlog.py:191)."""
+    return "e" + hashlib.md5(" ".join(template_tokens).encode()).hexdigest()[:8]
+
+
+class DrainMiner:
+    """Distributed two-phase miner over a token-array column."""
+
+    def __init__(self, sim_th: float = 0.4, max_clusters: int = 1024):
+        self.sim_th = sim_th
+        self.max_clusters = max_clusters
+        self.templates: list[tuple[list[str], int]] = []
+
+    # ------------------------------------------------------------- phase 1+2
+    def fit(self, df: DataFrame, tokens_col: str = "e_words") -> "DrainMiner":
+        sim_th, max_clusters = self.sim_th, self.max_clusters
+
+        def mine_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            local = _LocalDrain(sim_th, max_clusters)
+            for pdf in batches:
+                for toks in pdf["t"]:
+                    local.add(list(toks))
+            tpls = local.templates()
+            yield pd.DataFrame(
+                {"template": [t for t, _ in tpls], "count": [c for _, c in tpls]}
+            )
+
+        partial = (
+            df.select(F.col(tokens_col).alias("t"))
+            .mapInPandas(mine_partition, "template array<string>, count long")
+            .collect()
+        )
+        # phase 2: deterministic driver merge (sorted input -> stable result)
+        rows = sorted(partial, key=lambda r: (len(r["template"]), " ".join(r["template"]), -r["count"]))
+        merger = _LocalDrain(self.sim_th, self.max_clusters)
+        for r in rows:
+            merger.add(list(r["template"]), int(r["count"]))
+        self.templates = merger.templates()
+        return self
+
+    # ------------------------------------------------------------- phase 3
+    def assign(self, df: DataFrame, tokens_col: str = "e_words", out_col: str = "e_event_drain_id") -> DataFrame:
+        """Broadcast template match: map-side, Arrow-batched, no shuffle."""
+        spark = df.sparkSession
+        by_len: dict[int, list[tuple[list[str], str]]] = {}
+        for tpl, _ in self.templates:
+            by_len.setdefault(len(tpl), []).append((tpl, template_id(tpl)))
+        b_templates = spark.sparkContext.broadcast(by_len)
+        sim_th = self.sim_th
+
+        @F.pandas_udf("string")
+        def match(tok_series: pd.Series) -> pd.Series:
+            cand_map = b_templates.value
+
+            def one(toks) -> str | None:
+                toks = list(toks)
+                best_id, best_sim = None, -1.0
+                for tpl, tid in cand_map.get(len(toks), ()):
+                    sim = _similarity(tpl, toks)
+                    if sim > best_sim:
+                        best_id, best_sim = tid, sim
+                return best_id if best_sim >= sim_th else None
+
+            return tok_series.map(one)
+
+        return df.withColumn(out_col, match(F.col(tokens_col)))
+
+    # ------------------------------------------------------------- state
+    def templates_df(self, spark: SparkSession) -> DataFrame:
+        rows = [(template_id(t), " ".join(t), t, c) for t, c in self.templates]
+        return spark.createDataFrame(
+            rows, "template_id string, template string, template_tokens array<string>, count long"
+        )
+
+    def save_templates(self, spark: SparkSession, path: str) -> None:
+        self.templates_df(spark).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load_templates(cls, spark: SparkSession, path: str, sim_th: float = 0.4, max_clusters: int = 1024) -> "DrainMiner":
+        m = cls(sim_th, max_clusters)
+        rows = spark.read.parquet(path).collect()
+        m.templates = [(list(r["template_tokens"]), int(r["count"])) for r in rows]
+        return m
+
+
+def parse_drain(
+    df: DataFrame,
+    tokens_col: str = "e_words",
+    out_col: str = "e_event_drain_id",
+    sim_th: float = 0.4,
+    max_clusters: int = 1024,
+    template_path: str | None = None,
+) -> tuple[DataFrame, DrainMiner]:
+    """fit + assign in one call (the reference's parse_drain enhancer shape)."""
+    if template_path is not None:
+        try:
+            miner = DrainMiner.load_templates(df.sparkSession, template_path, sim_th, max_clusters)
+        except Exception:
+            miner = DrainMiner(sim_th, max_clusters).fit(df, tokens_col)
+            miner.save_templates(df.sparkSession, template_path)
+    else:
+        miner = DrainMiner(sim_th, max_clusters).fit(df, tokens_col)
+    return miner.assign(df, tokens_col, out_col), miner

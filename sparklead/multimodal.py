@@ -1,0 +1,88 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The decode/resize/feature kernels need codecs not present in this container,
+so the kernel bodies are STUBS (deterministic fakes clearly marked); the
+Spark-side plumbing — schema, Arrow batch shape, mapInPandas signature,
+partition sizing — is real and tested. Swap ``_decode_image_stub`` for a
+PIL/OpenCV call in production; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, payload binary, mime string, width int, height int, duration_ms int"
+)
+
+FEATURE_SCHEMA = "media_id string, kind string, n_bytes int, feature array<float>"
+
+
+def synth_media(spark, n: int) -> DataFrame:
+    """Deterministic fake media table: payload = repeatable bytes from the id."""
+    df = spark.range(0, n)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.xxhash64("id", F.lit(31)), F.lit(3)) + 1).cast("int"),
+    )
+    payload = F.sha2(F.concat(F.lit("payload"), F.col("id").cast("string")), 256).cast("binary")
+    return df.select(
+        F.format_string("media_%06d", "id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.pmod(F.xxhash64("id", F.lit(32)), F.lit(1920)) + 1).cast("int").alias("width"),
+        (F.pmod(F.xxhash64("id", F.lit(33)), F.lit(1080)) + 1).cast("int").alias("height"),
+        (F.pmod(F.xxhash64("id", F.lit(34)), F.lit(60000)) + 1).cast("int").alias("duration_ms"),
+    )
+
+
+def _decode_image_stub(payload: bytes) -> np.ndarray:
+    """STUB — deterministic fake 'decoded pixels' derived from the payload.
+
+    Production: ``PIL.Image.open(io.BytesIO(payload))``. Raising
+    NotImplementedError here would be honest too, but a deterministic fake
+    lets the batch plumbing be exercised end-to-end in tests.
+    """
+    arr = np.frombuffer(payload[:16], dtype=np.uint8).astype(np.float32)
+    return arr / 255.0
+
+
+def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (Arrow-batched).
+
+    The real pattern for image/audio featurization at scale: iterator-of-
+    batches so model/codec init happens once per task, payloads never touch
+    the driver, and output is a typed array<float> column.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_image_stub(p).tolist() for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "feature": feats,
+                }
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one row per planned frame timestamp.
+
+    The decode itself is the stubbed kernel; the row fan-out (explode over a
+    sequence of timestamps) is the real Spark-side shape.
+    """
+    return df.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,85 @@
+"""Fan-out routing: one enriched frame -> per-detector feature sinks.
+
+North rule: "fan-out sinks ... matching per-sink aggregate counts ...
+resumable from checkpoint with per-partition lineage + metrics". Each sink is
+a parquet (Iceberg-shaped: directory + manifest) write; a JSON manifest per
+sink records row count and per-partition row counts (lineage + metrics).
+Resume = skip sinks whose manifest exists and is complete; re-running a
+partially-written pipeline reproduces byte-identical aggregates because every
+sink plan is deterministic (FIXTURES.md invariant 7).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+MANIFEST = "_sparklead_manifest.json"
+
+
+def _footer_counts(path: str) -> list[tuple[str, int]]:
+    """Per-output-file row counts from parquet footers — metadata-only,
+    driver-side, no second scan of the data."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        out.append((os.path.basename(f), pq.ParquetFile(f).metadata.num_rows))
+    return out
+
+
+def write_sink(df: DataFrame, path: str, mode: str = "overwrite") -> dict:
+    """Write one sink + manifest; returns the manifest dict.
+
+    Lineage/metrics (north rule) come from the parquet footers of the files
+    just written — zero extra Spark jobs, so manifesting costs O(files) on
+    the driver, not O(rows) on the cluster.
+    """
+    t0 = time.time()
+    df.write.mode(mode).parquet(path)
+    files = _footer_counts(path)
+    manifest = {
+        "path": path,
+        "rows": sum(n for _, n in files),
+        "partitions": len(files),
+        "partition_rows": [n for _, n in files],
+        "files": [f for f, _ in files],
+        "written_at": time.time(),
+        "wall_s": round(time.time() - t0, 3),
+        "schema": df.schema.simpleString(),
+    }
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def sink_complete(path: str) -> bool:
+    return os.path.exists(os.path.join(path, MANIFEST)) and os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    )
+
+
+def route(
+    sinks: dict[str, Callable[[], DataFrame]],
+    out_dir: str,
+    resume: bool = True,
+) -> dict[str, dict]:
+    """Write every sink; with resume=True, completed sinks are skipped.
+
+    ``sinks`` maps sink name -> thunk producing its DataFrame (thunks so a
+    skipped sink costs nothing). Returns {name: manifest}.
+    """
+    results: dict[str, dict] = {}
+    for name, thunk in sinks.items():
+        path = os.path.join(out_dir, name)
+        if resume and sink_complete(path):
+            with open(os.path.join(path, MANIFEST)) as f:
+                results[name] = json.load(f) | {"resumed": True}
+            continue
+        results[name] = write_sink(thunk(), path)
+    return results

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast nested-loop join with the
+dot product as a zip_with/aggregate fold (JVM-side, no UDF). Scale path:
+sign-LSH bucketing (deterministic hash-derived hyperplanes) so candidate
+generation is an equi-join on bucket keys; IVF-style coarse quantization
+can reuse the same shape with KMeans centroids as bucket keys.
+
+At 100 TB: broadcast the QUERY side (queries are few), never the corpus;
+the corpus scan stays partition-parallel with the per-partition top-k
+reduced by the final window. For very large k*|queries|, switch the window
+to an aggregate ``min_by`` heap via collect_list+slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def signbucket_expr(v: Column, n_planes: int = 8, dim: int | None = None) -> Column:
+    """Sign-LSH bucket id from deterministic pseudo-random hyperplanes.
+
+    Plane p's weight for dimension d = centered uniform hash of (p, d) —
+    reproducible on any engine, no stored model. Returns a bigint bucket.
+    """
+    def plane_dot(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, d: x.cast("double")
+                * ((F.pmod(F.xxhash64(F.lit(str(p)), d.cast("string")), F.lit(2001)) - 1000).cast("double") / 1000.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bucket = bucket.bitwiseOR(
+            F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors: (query_id, neighbor_id, rank, cosine).
+
+    Self-matches (same key) are excluded. Deterministic tie-break on
+    neighbor id.
+    """
+    q = queries.select(F.col(key_col).alias("query_id"), F.col(emb_col).alias("qv"))
+    c = corpus.select(F.col(key_col).alias("neighbor_id"), F.col(emb_col).alias("cv"))
+    scored = (
+        c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share a sign-LSH bucket, then exact rank.
+
+    Recall grows with fewer planes (bigger buckets); production recipe is
+    multi-probe or multiple tables — this single-table variant keeps the
+    plan one equi-join + one window.
+    """
+    q = queries.select(
+        F.col(key_col).alias("query_id"), F.col(emb_col).alias("qv"), signbucket_expr(F.col(emb_col), n_planes).alias("bucket")
+    )
+    c = corpus.select(
+        F.col(key_col).alias("neighbor_id"), F.col(emb_col).alias("cv"), signbucket_expr(F.col(emb_col), n_planes).alias("bucket")
+    )
+    scored = (
+        c.join(broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,87 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting. All built-in expressions — the hot
+path stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "por", "en", "que"],
+}
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+BPE_ISH_PATTERN = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+
+def whitespace_tokens(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_ws_tokens (whitespace) + n_bpe_tokens (BPE-ish regex pieces)."""
+    t = F.col(text_col)
+    return df.withColumn("n_ws_tokens", F.size(whitespace_tokens(t))).withColumn(
+        "n_bpe_tokens", F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    words = whitespace_tokens(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return hits / F.greatest(F.size(words), F.lit(1)).cast("double")
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pick the language whose stopword ratio is highest (n-gram heuristic).
+
+    Deterministic tie-break by language code order; 'unknown' when no
+    stopword hits at all.
+    """
+    t = F.col(text_col)
+    scores = F.array(*[F.struct((-stopword_ratio(t, lg)).alias("neg"), F.lit(lg).alias("lg")) for lg in sorted(STOPWORDS)])
+    best = F.array_min(scores)
+    return df.withColumn(
+        "lang_pred", F.when(-best["neg"] > 0, best["lg"]).otherwise(F.lit("unknown"))
+    ).withColumn("lang_score", -best["neg"])
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: length, punctuation density,
+    stopword ratio, mean word length (the usual pretraining-filter signals)."""
+    t = F.col(text_col)
+    words = whitespace_tokens(t)
+    n_chars = F.length(t)
+    n_words = F.greatest(F.size(words), F.lit(1))
+    punct_ratio = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0))) / F.greatest(n_chars, F.lit(1)).cast("double")
+    mean_wlen = n_chars.cast("double") / n_words.cast("double")
+    sw = stopword_ratio(t)
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), 1.0).otherwise(0.25)
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.5)
+    wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 12), 1.0).otherwise(0.5)
+    sw_ok = F.when(sw >= 0.05, 1.0).otherwise(0.5)
+    return (
+        df.withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", sw)
+        .withColumn("mean_word_len", mean_wlen)
+        .withColumn("quality", (len_ok + punct_ok + wlen_ok + sw_ok) / 4.0)
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 8, keep: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprint: the ``keep`` smallest md5 hashes
+    over char k-gram shingles, concatenated. Near-identical docs share it."""
+    t = F.col(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (shingle_k - 1), F.lit(1))),
+        lambda i: F.md5(t.substr(i, F.lit(shingle_k))),
+    )
+    smallest = F.slice(F.array_sort(shingles), 1, keep)
+    return df.withColumn("fingerprint", F.md5(F.array_join(smallest, "")))

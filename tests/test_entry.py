@@ -1,0 +1,27 @@
+"""Driver-contract smoke: entry() runs, queries()/oracle_sql() keys align."""
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_oracle_keys_subset_of_queries():
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q
+    # every non-oracle query is documented as rows-only
+    rows_only = q - o
+    assert rows_only == {"drain_templates", "simhash_groups", "pipeline_source_agg", "multimodal_features"}
+
+
+def test_queries_run_at_sf0001(spark, sf_dir):
+    # smoke every query at the smallest sf (full value checks happen in
+    # tools/crosscheck.py at sf0.01, mirroring the driver)
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.limit(1).count() >= 0, name

@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet, compare
+row count + order-insensitive value hash (columns sorted by name).
+
+Usage: python tools/crosscheck.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    import datetime
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return "NULL"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return "0" if f == 0 else f"{f:.10g}"
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    if isinstance(v, (datetime.datetime, pd.Timestamp)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(pdf: pd.DataFrame) -> str:
+    cols = sorted(pdf.columns)
+    rows = ["\x01".join(norm_cell(r[c]) for c in cols) for _, r in pdf[cols].iterrows()]
+    rows.sort()
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+
+    import __spark_entry__ as entrymod
+    from sparklead import get_spark
+
+    spark = get_spark("crosscheck", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    passed = failed = rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failed += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
+            rows_only += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetch_df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failed += 1
+            continue
+        if len(sdf) != len(odf):
+            print(f"FAIL  {name}: rows spark={len(sdf)} duckdb={len(odf)}")
+            failed += 1
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL  {name}: cols spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}")
+            failed += 1
+            continue
+        hs, ho = value_hash(sdf), value_hash(odf)
+        if hs != ho:
+            print(f"FAIL  {name}: value hash mismatch ({len(sdf)} rows)")
+            # show a diff sample
+            cols = sorted(sdf.columns)
+            s_rows = set("\x01".join(norm_cell(r[c]) for c in cols) for _, r in sdf[cols].iterrows())
+            o_rows = set("\x01".join(norm_cell(r[c]) for c in cols) for _, r in odf[cols].iterrows())
+            for x in list(s_rows - o_rows)[:2]:
+                print("   spark-only:", x.replace("\x01", " | ")[:200])
+            for x in list(o_rows - s_rows)[:2]:
+                print("   duck-only :", x.replace("\x01", " | ")[:200])
+            failed += 1
+        else:
+            print(f"OK    {name}: {len(sdf)} rows")
+            passed += 1
+    print(f"\n{passed} ok, {rows_only} rows-only, {failed} failed")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
