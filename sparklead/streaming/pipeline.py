@@ -1,0 +1,108 @@
+"""Structured Streaming front-end for the north-rule pipeline.
+
+The reference is batch-only (SURVEY.md §2.11); its nearest streaming analogue
+is drain3's periodic state snapshots. Here the SAME narrow stages
+(parse_stage / enrich_stage — they are plain Column expressions, so they
+compose with readStream unchanged) run incrementally:
+
+  * ``stream_route``: readStream over a parquet directory of pre-tokenized
+    sequences -> parse -> enrich -> foreachBatch fan-out through
+    routing-style sinks (append mode, per-batch manifest rows). Checkpointed:
+    restart resumes from the last committed micro-batch — the streaming twin
+    of the batch pipeline's snapshot resume.
+  * ``stream_window_counts``: event-time windowed aggregation with a
+    watermark (late-data bound) over an event stream — the canonical
+    stateful-agg shape the batch reference lacks.
+
+Both run with Trigger.AvailableNow in tests (process everything, then stop),
+which is exactly the production shape for incremental batch over Iceberg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparklead.pipeline import enrich_stage, parse_stage, source_agg, template_counts
+
+PRETOK_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def stream_route(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    source_meta: DataFrame,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental parse->enrich->route. Returns the StreamingQuery.
+
+    Sinks are parquet-append per micro-batch; a JSONL manifest records
+    (batch_id, sink, rows) — per-batch lineage, the streaming analogue of the
+    batch manifests.
+    """
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(out_dir, "_checkpoint")
+    stream = spark.readStream.schema(PRETOK_SCHEMA).parquet(input_dir)
+    enriched_stream = enrich_stage(parse_stage(stream), source_meta)
+    manifest_path = os.path.join(out_dir, "stream_manifest.jsonl")
+
+    def route_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        entries = []
+        for name, frame in {
+            "seq_features": batch_df.select(
+                "doc_id", "source", "label", "region", "template_id", "n_tok", "n_tok_ok"
+            ),
+            "template_counts": template_counts(batch_df),
+            "source_agg": source_agg(batch_df),
+        }.items():
+            path = os.path.join(out_dir, name)
+            frame.write.mode("append").parquet(path)
+            entries.append({"batch_id": batch_id, "sink": name})
+        entries.insert(0, {"batch_id": batch_id, "rows": batch_df.count()})
+        with open(manifest_path, "a") as f:
+            for e in entries:
+                f.write(json.dumps(e) + "\n")
+        batch_df.unpersist()
+
+    writer = (
+        enriched_stream.writeStream.foreachBatch(route_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_window_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Watermarked event-time windowed counts per event_type (late-data-safe)."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "window_counts"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
