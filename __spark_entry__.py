@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whitespace_squeeze": _q_whitespace_squeeze,
         "conditional_map": _q_conditional_map,
         "median_per_group": _q_median_per_group,
+        # ---- §2.1 loaders (literal-row demos, oracled via VALUES)
+        "bgl_load": _q_bgl_load,
+        "multiline_merge": _q_multiline_merge,
         # ---- §2.7/§2.8 token/array ops
         "words_stats": _q_words_stats,
         "trigram_count": _q_trigram_count,
@@ -107,6 +110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- non-SQL-expressible (rows-only checks)
         "drain_templates": _q_drain_templates,
         "pliplom_templates": _q_pliplom_templates,
+        "ael_templates": _q_ael_templates,
+        "brain_templates": _q_brain_templates,
+        "spell_templates": _q_spell_templates,
+        "lenma_templates": _q_lenma_templates,
         "ad_predictions": _q_ad_predictions,
         "streaming_route": _q_streaming_route,
         "simhash_groups": _q_simhash_groups,
@@ -354,6 +361,40 @@ def _q_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BGL_LINES = [
+    "- 1117838570 2005.06.03 R02-M1 2005-06-03-15.42.50 R02-M1 RAS KERNEL INFO instruction cache parity error corrected",
+    "APPREAD 1117838978 2005.06.03 R02-M1 2005-06-03-15.49.38 R02-M1 RAS APP FATAL ciod: failed to read message prefix",
+    "- 1117842440 2005.06.03 R23-M0 2005-06-03-16.47.20 R23-M0 RAS KERNEL INFO generating core.2275",
+]
+
+
+def _q_bgl_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGL loader: 10-field split, '-'-prefix label fold, epoch timestamp
+    (loaders/bgl.py:12-20) on literal rows so DuckDB can replay it."""
+    from sparklead.sources.syslog import load_bgl_events
+
+    df = spark.createDataFrame([(l,) for l in _BGL_LINES], "m_message string")
+    out = load_bgl_events(df)
+    return out.select("label", "normal", "anomaly", "node", "level", "m_timestamp", "m_message")
+
+
+_MULTILINE_LINES = [
+    ("2024-01-01 err start", "f1", 0),
+    ("  at trace line 1", "f1", 1),
+    ("  at trace line 2", "f1", 2),
+    ("2024-01-01 next entry", "f1", 3),
+    ("2024-01-01 other file", "f2", 4),
+]
+
+
+def _q_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline stack-trace merge via window sessionization (raw.py:171-194)."""
+    from sparklead.sources.raw import merge_multiline
+
+    df = spark.createDataFrame(_MULTILINE_LINES, "m_message string, file_name string, line_nr long")
+    return merge_multiline(df).select("file_name", "line_nr", "m_message")
+
+
 # ---------------------------------------------------------------- §2.7/2.8
 
 def _q_words_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,6 +623,43 @@ def _q_pliplom_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl_iplom_templates(df, "e_words").select("template_id", "template", "part_len")
 
 
+def _mined_corpus(spark: SparkSession, n: int = 1500) -> DataFrame:
+    from sparklead import synth
+    from sparklead.enhancers import eventlog as E
+    from sparklead.sources.hdfs import load_hdfs_events
+
+    raw = synth.raw_log_corpus(spark, n)
+    return E.words(E.normalize(load_hdfs_events(raw)), "e_message_normalized")
+
+
+def _q_ael_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparklead.mining import parse_ael
+
+    _, templates = parse_ael(_mined_corpus(spark), column="e_message_normalized")
+    return templates
+
+
+def _q_brain_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparklead.mining import parse_brain
+
+    _, templates = parse_brain(_mined_corpus(spark), "e_words")
+    return templates
+
+
+def _q_spell_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparklead.mining import parse_spell
+
+    _, miner = parse_spell(_mined_corpus(spark), "e_words")
+    return miner.templates_df(spark).select("template_id", "template", "count")
+
+
+def _q_lenma_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparklead.mining import parse_lenma
+
+    _, miner = parse_lenma(_mined_corpus(spark), "e_words")
+    return miner.templates_df(spark).select("template_id", "template", "count")
+
+
 def _q_ad_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark ML anomaly detection over mined sequences (train LR, predict)."""
     from sparklead import synth
@@ -780,6 +858,38 @@ def oracle_sql() -> dict[str, str]:
         "median_per_group": """
             SELECT event_type, round(median(value), 6) AS median_value
             FROM events GROUP BY event_type
+        """,
+        "bgl_load": """
+            WITH raw(m_message) AS (VALUES
+              ('- 1117838570 2005.06.03 R02-M1 2005-06-03-15.42.50 R02-M1 RAS KERNEL INFO instruction cache parity error corrected'),
+              ('APPREAD 1117838978 2005.06.03 R02-M1 2005-06-03-15.49.38 R02-M1 RAS APP FATAL ciod: failed to read message prefix'),
+              ('- 1117842440 2005.06.03 R23-M0 2005-06-03-16.47.20 R23-M0 RAS KERNEL INFO generating core.2275')
+            )
+            SELECT split_part(m_message, ' ', 1) AS label,
+                   starts_with(split_part(m_message, ' ', 1), '-') AS normal,
+                   NOT starts_with(split_part(m_message, ' ', 1), '-') AS anomaly,
+                   split_part(m_message, ' ', 4) AS node,
+                   split_part(m_message, ' ', 9) AS level,
+                   to_timestamp(split_part(m_message, ' ', 2)::bigint)::timestamp AS m_timestamp,
+                   array_to_string(string_split(m_message, ' ')[10:], ' ') AS m_message
+            FROM raw
+        """,
+        "multiline_merge": """
+            WITH raw(m_message, file_name, line_nr) AS (VALUES
+              ('2024-01-01 err start', 'f1', 0),
+              ('  at trace line 1', 'f1', 1),
+              ('  at trace line 2', 'f1', 2),
+              ('2024-01-01 next entry', 'f1', 3),
+              ('2024-01-01 other file', 'f2', 4)
+            ), flagged AS (
+              SELECT *, CASE WHEN regexp_matches(m_message, '^\\d{4}-\\d{2}-\\d{2}') THEN 1 ELSE 0 END AS s
+              FROM raw
+            ), grouped AS (
+              SELECT *, sum(s) OVER (PARTITION BY file_name ORDER BY line_nr) AS entry_id FROM flagged
+            )
+            SELECT file_name, min(line_nr)::bigint AS line_nr,
+                   string_agg(m_message, chr(10) ORDER BY line_nr) AS m_message
+            FROM grouped GROUP BY file_name, entry_id
         """,
         "words_stats": """
             SELECT doc_id,

@@ -42,10 +42,13 @@ def _mk_spark(app: str):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from sparklead import get_spark
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
-    spark = get_spark(app, master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or (os.cpu_count() or 8))
+    # fixed moderate heap: on this VM an oversized heap (64g+) causes
+    # page-fault storms that SLOW 32-thread runs 3-7x (measured); 8g is
+    # plenty for the bench workloads and keeps levels comparable
+    spark = get_spark(app, master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    return spark, int(cpus)
+    return spark, cpus
 
 
 def run_headline() -> dict:
@@ -66,6 +69,8 @@ def run_headline() -> dict:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # north-rule headline: pipeline throughput over a materialized 1M-doc input
+    pipe = _pipeline_throughput(spark, cpus, n_docs=1_000_000)
     out = {
         "metric": "headline query suite wall time",
         "value": total,
@@ -73,12 +78,35 @@ def run_headline() -> dict:
         "queries": times,
         "sf": sf_val,
         "cpus": cpus,
+        "pipeline_seqs_per_sec": pipe["value"],
+        "pipeline_wall_sec": pipe["wall_sec"],
     }
     spark.stop()
     return out
 
 
-def run_pipeline_only(n_docs: int) -> dict:
+def _pipeline_throughput(spark, cpus: int, n_docs: int) -> dict:
+    import shutil
+    import tempfile
+
+    from sparklead import synth
+    from sparklead.pipeline import run_pipeline
+
+    tmp_in = tempfile.mkdtemp(prefix="sparklead_in_")
+    tmp_out = tempfile.mkdtemp(prefix="sparklead_out_")
+    try:
+        synth.pretokenized(spark, n_docs, partitions=cpus * 4).write.mode("overwrite").parquet(tmp_in)
+        df = spark.read.parquet(tmp_in)
+        t0 = time.time()
+        run_pipeline(df, synth.source_meta(spark), out_dir=tmp_out, resume=False)
+        wall = time.time() - t0
+        return {"value": round(n_docs / wall, 1), "wall_sec": round(wall, 3)}
+    finally:
+        shutil.rmtree(tmp_in, ignore_errors=True)
+        shutil.rmtree(tmp_out, ignore_errors=True)
+
+
+def run_pipeline_only(n_docs: int, input_dir: str | None = None) -> dict:
     import shutil
     import tempfile
 
@@ -87,11 +115,14 @@ def run_pipeline_only(n_docs: int) -> dict:
     from sparklead.pipeline import run_pipeline
 
     # generate + materialize input first so the measured window is the
-    # pipeline, not the generator
-    tmp_in = tempfile.mkdtemp(prefix="sparklead_in_")
+    # pipeline, not the generator; a shared --input dir lets two parallelism
+    # levels run the SAME bytes (north-rule scaling protocol)
+    own_input = input_dir is None
+    tmp_in = tempfile.mkdtemp(prefix="sparklead_in_") if own_input else input_dir
     tmp_out = tempfile.mkdtemp(prefix="sparklead_out_")
     try:
-        synth.pretokenized(spark, n_docs, partitions=cpus * 4).write.mode("overwrite").parquet(tmp_in)
+        if own_input:
+            synth.pretokenized(spark, n_docs, partitions=cpus * 4).write.mode("overwrite").parquet(tmp_in)
         df = spark.read.parquet(tmp_in)
         meta = synth.source_meta(spark)
         t0 = time.time()
@@ -107,15 +138,18 @@ def run_pipeline_only(n_docs: int) -> dict:
             "sink_rows": {k: m["rows"] for k, m in res["manifests"].items()},
         }
     finally:
-        shutil.rmtree(tmp_in, ignore_errors=True)
+        if own_input:
+            shutil.rmtree(tmp_in, ignore_errors=True)
         shutil.rmtree(tmp_out, ignore_errors=True)
     spark.stop()
     return out
 
 
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-only":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
-        print(json.dumps(run_pipeline_only(n)))
+        input_dir = sys.argv[sys.argv.index("--input") + 1] if "--input" in sys.argv else None
+        print(json.dumps(run_pipeline_only(n, input_dir)))
     else:
         print(json.dumps(run_headline()))

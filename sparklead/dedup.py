@@ -127,14 +127,15 @@ def simhash64(tokens: Column) -> Column:
         # bit 63's mask overflows signed long as 1<<63; use the sign bit value
         return [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
 
+    # hash each token ONCE (a 64-way fold that re-invoked xxhash64 per bit
+    # was 64x the hashing cost), then fold precomputed longs over the bits
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     bitsums = F.aggregate(
-        tokens,
+        hashes,
         F.array_repeat(F.lit(0), 64),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.array(*[
-                F.when(F.xxhash64(t).bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1) for m in masks()
-            ]),
+            F.array(*[F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1) for m in masks()]),
             lambda a, x: a + x,
         ),
     )

@@ -1,3 +1,17 @@
 from sparklead.mining.drain import DrainMiner, parse_drain
+from sparklead.mining.pl_iplom import parse_pl_iplom, pl_iplom_templates
+from sparklead.mining.ael import parse_ael
+from sparklead.mining.brain import parse_brain
+from sparklead.mining.two_phase import TwoPhaseMiner, parse_lenma, parse_spell
 
-__all__ = ["DrainMiner", "parse_drain"]
+__all__ = [
+    "DrainMiner",
+    "TwoPhaseMiner",
+    "parse_ael",
+    "parse_brain",
+    "parse_drain",
+    "parse_lenma",
+    "parse_pl_iplom",
+    "parse_spell",
+    "pl_iplom_templates",
+]

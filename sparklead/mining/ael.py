@@ -1,0 +1,122 @@
+"""AEL (Abstracting Execution Logs) template miner — Spark-native.
+
+Reference (/root/reference/loglead/parsers/AEL/AEL.py): bin by
+(token_count, wildcard_count) (:78-94), exact-match categorize within a bin
+(:96-114), greedy merge of events whose token diff ratio is in
+(0, merge_percent] when a bin holds more than minEventCount distinct events
+(:116-143, 189-204), ids = md5(template)[:8] (:31-35).
+
+Spark decomposition:
+  1. categorize = ONE hash aggregation over (bin_key, masked string) — the
+     reference's per-row Python loop collapses into groupBy().count(); the
+     result is template-candidate-sized, not data-sized.
+  2. reconcile = applyInPandas per bin over the candidate set (each bin is a
+     handful of templates; the greedy pairwise loop is inherently sequential
+     but now runs on candidates, not rows). Candidates are sorted
+     (count desc, string asc) first so the greedy result is deterministic —
+     the reference depends on arrival order.
+  3. assignment = broadcast join of the (candidate -> merged template) map
+     back onto events. Zero data-sized shuffles beyond step 1.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+WILDCARD = "<*>"
+
+# default masking before binning (the reference takes arbitrary `rex`;
+# these mirror the drain masking targets: numbers, hex, ips)
+DEFAULT_MASKS = [r"\d+\.\d+\.\d+\.\d+", r"0x[0-9a-fA-F]+", r"\d+"]
+
+
+def _mask_expr(column: str, masks: list[str]):
+    expr = F.col(column)
+    for pat in masks:
+        expr = F.regexp_replace(expr, pat, WILDCARD)
+    return expr
+
+
+def _merge_bin(pdf: pd.DataFrame, min_event_count: int, merge_percent: float) -> pd.DataFrame:
+    """Greedy AEL reconcile over one bin's distinct candidates (AEL.py:116-143)."""
+    cands = pdf.sort_values(["cnt", "event_str"], ascending=[False, True]).reset_index(drop=True)
+    events = [{"tokens": s.split(" "), "str": s, "members": [s]} for s in cands["event_str"]]
+    if len(events) > min_event_count:
+        merged_flags = [False] * len(events)
+        groups = []
+        for i, e1 in enumerate(events):
+            if merged_flags[i]:
+                continue
+            merged_flags[i] = True
+            group = [e1]
+            for j in range(len(events)):
+                if merged_flags[j]:
+                    continue
+                t1, t2 = e1["tokens"], events[j]["tokens"]
+                diff = sum(1 for a, b in zip(t1, t2) if a != b)
+                if 0 < diff / len(t1) <= merge_percent:  # has_diff (AEL.py:199-204)
+                    group.append(events[j])
+                    merged_flags[j] = True
+            groups.append(group)
+        out = []
+        for group in groups:
+            tokens = list(group[0]["tokens"])
+            for e in group[1:]:
+                tokens = [a if a == b else WILDCARD for a, b in zip(tokens, e["tokens"])]
+            tpl = " ".join(tokens)
+            for e in group:
+                out.append((e["str"], tpl))
+    else:
+        out = [(e["str"], e["str"]) for e in events]
+    res = pd.DataFrame(out, columns=["event_str", "template"])
+    res["template_id"] = res["template"].map(
+        lambda t: "e" + hashlib.md5(t.encode("utf-8")).hexdigest()[:8]
+    )
+    return res
+
+
+def parse_ael(
+    df: DataFrame,
+    column: str = "m_message",
+    out_col: str = "e_event_ael_id",
+    masks: list[str] = DEFAULT_MASKS,
+    min_event_count: int = 2,
+    merge_percent: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Assign AEL template ids; returns (df + out_col, template table)."""
+    masked = df.withColumn("_ael_masked", _mask_expr(column, masks))
+    tokens = F.split("_ael_masked", " ")
+    binned = masked.withColumn(
+        "_bin",
+        F.concat_ws(
+            ":",
+            F.size(tokens),
+            F.size(F.filter(tokens, lambda t: t == WILDCARD)),
+        ),
+    )
+    candidates = binned.groupBy(F.col("_bin"), F.col("_ael_masked").alias("event_str")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        res = _merge_bin(pdf, min_event_count, merge_percent)
+        res.insert(0, "bin", pdf["_bin"].iloc[0])
+        return res
+
+    mapping = candidates.groupBy("_bin").applyInPandas(
+        merge, "bin string, event_str string, template string, template_id string"
+    )
+    templates = mapping.groupBy("template_id", "template").agg(F.count(F.lit(1)).alias("n_candidates"))
+    assigned = binned.join(
+        broadcast(mapping.select(F.col("bin").alias("_bin"), F.col("event_str").alias("_ael_masked"),
+                                 F.col("template_id").alias(out_col))),
+        ["_bin", "_ael_masked"],
+        "left",
+    ).drop("_bin", "_ael_masked")
+    return assigned, templates

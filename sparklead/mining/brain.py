@@ -1,0 +1,93 @@
+"""Brain-style template miner — bidirectional frequency analysis, relational.
+
+Reference (/root/reference/loglead/parsers/Brain/Brain.py:27-408): per
+length-group, count the global frequency of every (position, token) pair;
+each message's ROOT is its set of most-frequent tokens (the longest common
+pattern); messages sharing (length, root) form a cluster; remaining
+positions become '<*>' or constants.
+
+The reference walks Python dicts per row. Here every phase is a DataFrame
+op (SURVEY.md §2.9: 'frequency vectors = posexplode + groupBy count — fully
+vectorizable'):
+
+  1. (pos, token) frequency per length-group: posexplode + ONE hash agg.
+  2. per-row root signature: join frequencies back (broadcast — the
+     frequency table is vocabulary-sized), keep tokens whose frequency
+     equals the row's max frequency; root = hash of those (pos, token)s.
+  3. template per (length, root) cluster: position-wise
+     countDistinct==1 ? first : '<*>' — same aggregate as PL-IPLoM.
+
+Divergence from the reference: Brain's child-split recursion (its step 3+)
+refines clusters further down the frequency ladder; on machine logs the
+(length, root-pattern) grouping already recovers the template set, and the
+recursion is a driver loop that does not distribute. Parity contract is
+cluster count/size distribution, as with Drain (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def parse_brain(
+    df: DataFrame,
+    tokens_col: str = "e_words",
+    out_col: str = "e_event_brain_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Assign Brain template ids; returns (df + out_col, template table)."""
+    base = df.withColumn("_len", F.size(tokens_col))
+    pos = base.select("_len", F.posexplode(tokens_col).alias("pos", "tok"))
+    freqs = pos.groupBy("_len", "pos", "tok").agg(F.count(F.lit(1)).alias("freq"))
+
+    # per-row frequency vector via broadcast join of the (small) freq table,
+    # then root = md5 over the (pos:token) pairs at the row's max frequency.
+    # _rid is derived ONCE (ided) — a second monotonically_increasing_id()
+    # call would re-number under a different plan.
+    ided = base.withColumn("_rid", F.monotonically_increasing_id())
+    with_freq = (
+        ided.select("_rid", "_len", F.posexplode(tokens_col).alias("pos", "tok"))
+        .join(broadcast(freqs), ["_len", "pos", "tok"], "left")
+    )
+    row_max = with_freq.groupBy("_rid").agg(F.max("freq").alias("_fmax"))
+    roots = (
+        with_freq.join(row_max, "_rid")
+        .filter(F.col("freq") == F.col("_fmax"))
+        .groupBy("_rid", "_len")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: F.concat_ws(":", s["pos"].cast("string"), s["tok"]),
+                    ),
+                )
+            ).alias("_root")
+        )
+    )
+    keyed = ided.join(roots.select("_rid", "_root"), "_rid").withColumn(
+        "_cluster", F.concat_ws("#", F.col("_len").cast("string"), F.col("_root"))
+    )
+    # template per cluster: position-wise constant-or-wildcard
+    per_pos = (
+        keyed.select("_cluster", F.posexplode(tokens_col).alias("pos", "tok"))
+        .groupBy("_cluster", "pos")
+        .agg(F.when(F.countDistinct("tok") == 1, F.first("tok")).otherwise(F.lit("<*>")).alias("t"))
+    )
+    templates = (
+        per_pos.groupBy("_cluster")
+        .agg(
+            F.concat_ws(
+                " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "t"))), lambda s: s["t"])
+            ).alias("template")
+        )
+        .withColumn("template_id", F.concat(F.lit("e"), F.substring(F.md5("template"), 1, 8)))
+    )
+    sizes = keyed.groupBy("_cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    template_table = templates.join(sizes, "_cluster")
+    assigned = keyed.join(
+        broadcast(templates.select("_cluster", F.col("template_id").alias(out_col))), "_cluster", "left"
+    ).drop("_cluster", "_root", "_rid", "_len")
+    return assigned, template_table.select("template_id", "template", "cluster_size")

@@ -1,0 +1,215 @@
+"""Generic two-phase distributed template miner.
+
+Factors the Drain redesign (mining/drain.py) into a reusable skeleton for
+every sequential/stateful parser in the reference family (Spell, LenMa —
+/root/reference/loglead/parsers/pyspell/spell.py:175-224,
+parsers/lenma/lenma.py:218-319, both driven row-by-row through Object
+columns at enhancers/eventlog.py:326,354):
+
+  phase 1  mapInPandas: each partition clusters its own rows with the
+           plugin's LOCAL algorithm -> tiny per-partition template set
+  phase 2  driver merge: deterministic sort, then the same local algorithm
+           folds the partial template sets
+  phase 3  broadcast assignment via the plugin's match()
+
+A plugin supplies a ``LocalClusterer`` with add(tokens, count),
+templates() -> [(tokens, count)], and a static match(tokens, templates).
+Ids are 'e'+md5(template)[:8] — partitioning-invariant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def template_id(template_tokens: list[str]) -> str:
+    return "e" + hashlib.md5(" ".join(template_tokens).encode()).hexdigest()[:8]
+
+
+class TwoPhaseMiner:
+    def __init__(self, clusterer_factory: Callable[[], object]):
+        self._factory = clusterer_factory
+        self.templates: list[tuple[list[str], int]] = []
+
+    def fit(self, df: DataFrame, tokens_col: str = "e_words") -> "TwoPhaseMiner":
+        factory = self._factory
+
+        def mine_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            local = factory()
+            for pdf in batches:
+                for toks in pdf["t"]:
+                    local.add(list(toks), 1)
+            tpls = local.templates()
+            yield pd.DataFrame({"template": [t for t, _ in tpls], "count": [c for _, c in tpls]})
+
+        partial = (
+            df.select(F.col(tokens_col).alias("t"))
+            .mapInPandas(mine_partition, "template array<string>, count long")
+            .collect()
+        )
+        rows = sorted(partial, key=lambda r: (len(r["template"]), " ".join(r["template"]), -r["count"]))
+        merger = self._factory()
+        for r in rows:
+            merger.add(list(r["template"]), int(r["count"]))
+        self.templates = merger.templates()
+        return self
+
+    def assign(self, df: DataFrame, tokens_col: str, out_col: str, matcher: Callable) -> DataFrame:
+        spark = df.sparkSession
+        payload = [(t, template_id(t)) for t, _ in self.templates]
+        b = spark.sparkContext.broadcast(payload)
+
+        @F.pandas_udf("string")
+        def match(tok_series: pd.Series) -> pd.Series:
+            tpls = b.value
+            return tok_series.map(lambda toks: matcher(list(toks), tpls))
+
+        return df.withColumn(out_col, match(F.col(tokens_col)))
+
+    def templates_df(self, spark: SparkSession) -> DataFrame:
+        rows = [(template_id(t), " ".join(t), t, c) for t, c in self.templates]
+        return spark.createDataFrame(
+            rows, "template_id string, template string, template_tokens array<string>, count long"
+        )
+
+
+# ------------------------------------------------------------------ Spell
+
+def _lcs_len(a: list[str], b: list[str]) -> int:
+    """Longest-common-subsequence length (Spell's core, spell.py:175-224)."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+def _lcs_merge(a: list[str], b: list[str]) -> list[str]:
+    """Template after merging: positions of a kept where they participate in
+    the LCS with b, others wildcarded (same arity as a)."""
+    # standard LCS backtrack over a
+    m, n = len(a), len(b)
+    dp = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            dp[i][j] = dp[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1] else max(dp[i - 1][j], dp[i][j - 1])
+    keep = set()
+    i, j = m, n
+    while i > 0 and j > 0:
+        if a[i - 1] == b[j - 1]:
+            keep.add(i - 1)
+            i -= 1
+            j -= 1
+        elif dp[i - 1][j] >= dp[i][j - 1]:
+            i -= 1
+        else:
+            j -= 1
+    return [t if i in keep else "<*>" for i, t in enumerate(a)]
+
+
+class LocalSpell:
+    """LCS-based streaming clusterer (spell.py tau=0.5 semantics)."""
+
+    def __init__(self, tau: float = 0.5):
+        self.tau = tau
+        self.clusters: list[list] = []  # [template_tokens, count]
+
+    def add(self, tokens: list[str], count: int = 1) -> None:
+        best, best_len = None, 0
+        for c in self.clusters:
+            tpl = [t for t in c[0] if t != "<*>"]
+            l = _lcs_len(tpl, tokens)
+            if l > best_len and l >= len(tokens) * self.tau:
+                best, best_len = c, l
+        if best is not None:
+            merged = _lcs_merge(best[0], tokens)
+            best[0] = merged
+            best[1] += count
+        else:
+            self.clusters.append([list(tokens), count])
+
+    def templates(self) -> list[tuple[list[str], int]]:
+        out = [(c[0], c[1]) for c in self.clusters]
+        out.sort(key=lambda t: (len(t[0]), " ".join(t[0])))
+        return out
+
+    @staticmethod
+    def match(tokens: list[str], templates: list[tuple[list[str], str]], tau: float = 0.5) -> str | None:
+        best_id, best_len = None, 0
+        for tpl, tid in templates:
+            solid = [t for t in tpl if t != "<*>"]
+            l = _lcs_len(solid, tokens)
+            if l > best_len and l >= len(tokens) * tau:
+                best_id, best_len = tid, l
+        return best_id
+
+
+# ------------------------------------------------------------------ LenMa
+
+class LocalLenMa:
+    """Word-length-vector cosine clusterer (lenma.py threshold .9 semantics):
+    candidates share the token count; similarity is the cosine of the
+    word-length vectors; merged templates wildcard length-conflicting slots."""
+
+    def __init__(self, threshold: float = 0.9):
+        self.threshold = threshold
+        self.by_len: dict[int, list[list]] = {}
+
+    @staticmethod
+    def _cos(a: list[int], b: list[int]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    def add(self, tokens: list[str], count: int = 1) -> None:
+        lens = [len(t) for t in tokens]
+        best, best_sim = None, 0.0
+        for c in self.by_len.get(len(tokens), ()):
+            sim = self._cos(c[2], lens)
+            if sim > best_sim:
+                best, best_sim = c, sim
+        if best is not None and best_sim >= self.threshold:
+            best[0] = [a if a == b else "<*>" for a, b in zip(best[0], tokens)]
+            best[1] += count
+        else:
+            self.by_len.setdefault(len(tokens), []).append([list(tokens), count, lens])
+
+    def templates(self) -> list[tuple[list[str], int]]:
+        out = [(c[0], c[1]) for lst in self.by_len.values() for c in lst]
+        out.sort(key=lambda t: (len(t[0]), " ".join(t[0])))
+        return out
+
+    @staticmethod
+    def match(tokens: list[str], templates: list[tuple[list[str], str]], threshold: float = 0.9) -> str | None:
+        lens = [len(t) for t in tokens]
+        best_id, best_sim = None, 0.0
+        for tpl, tid in templates:
+            if len(tpl) != len(tokens):
+                continue
+            tlens = [len(t) if t != "<*>" else l for t, l in zip(tpl, lens)]
+            sim = LocalLenMa._cos(tlens, lens)
+            if sim > best_sim:
+                best_id, best_sim = tid, sim
+        return best_id if best_sim >= threshold else None
+
+
+def parse_spell(df: DataFrame, tokens_col: str = "e_words", out_col: str = "e_event_spell_id", tau: float = 0.5):
+    miner = TwoPhaseMiner(lambda: LocalSpell(tau)).fit(df, tokens_col)
+    assigned = miner.assign(df, tokens_col, out_col, lambda toks, tpls: LocalSpell.match(toks, tpls, tau))
+    return assigned, miner
+
+
+def parse_lenma(df: DataFrame, tokens_col: str = "e_words", out_col: str = "e_event_lenma_id", threshold: float = 0.9):
+    miner = TwoPhaseMiner(lambda: LocalLenMa(threshold)).fit(df, tokens_col)
+    assigned = miner.assign(df, tokens_col, out_col, lambda toks, tpls: LocalLenMa.match(toks, tpls, threshold))
+    return assigned, miner

@@ -68,18 +68,38 @@ def route(
     sinks: dict[str, Callable[[], DataFrame]],
     out_dir: str,
     resume: bool = True,
+    concurrent: bool = True,
 ) -> dict[str, dict]:
     """Write every sink; with resume=True, completed sinks are skipped.
 
     ``sinks`` maps sink name -> thunk producing its DataFrame (thunks so a
     skipped sink costs nothing). Returns {name: manifest}.
+
+    Independent sinks are written from CONCURRENT driver threads (the
+    standard Spark multi-job pattern): the scheduler interleaves their
+    stages, so one sink's driver-side tail (commit, manifest) overlaps
+    another's compute instead of serializing 5 job boundaries.
     """
     results: dict[str, dict] = {}
+    pending: dict[str, Callable[[], DataFrame]] = {}
     for name, thunk in sinks.items():
         path = os.path.join(out_dir, name)
         if resume and sink_complete(path):
             with open(os.path.join(path, MANIFEST)) as f:
                 results[name] = json.load(f) | {"resumed": True}
-            continue
-        results[name] = write_sink(thunk(), path)
+        else:
+            pending[name] = thunk
+    if len(pending) <= 1 or not concurrent:
+        for name, thunk in pending.items():
+            results[name] = write_sink(thunk(), os.path.join(out_dir, name))
+        return results
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(pending)) as pool:
+        futures = {
+            name: pool.submit(lambda t=thunk, n=name: write_sink(t(), os.path.join(out_dir, n)))
+            for name, thunk in pending.items()
+        }
+        for name, fut in futures.items():
+            results[name] = fut.result()
     return results

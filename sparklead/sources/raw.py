@@ -127,3 +127,78 @@ def json_lines(spark: SparkSession, path: str, schema: str | None = None) -> Dat
     if schema:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def extract_timestamp_prefix(
+    df: DataFrame,
+    pattern: str,
+    fmt: str,
+    column: str = "m_message",
+    missing_action: str = "keep",
+    file_col: str = "file_name",
+    order_col: str = "line_nr",
+) -> DataFrame:
+    """Timestamp-prefix extraction + missing-timestamp strategies.
+
+    Reference _parse_timestamp (loaders/raw.py:143-169): pull group 1 of
+    ``pattern`` out of the message, strip it, strptime. Strategies for rows
+    without a timestamp: 'drop' | 'keep' | 'fill-lastseen' (forward fill of
+    the PREVIOUS seen value per file — raw.py:160-169 uses backward; both
+    offered).
+    """
+    df = df.withColumn("m_timestamp", F.try_to_timestamp(F.regexp_extract(F.col(column), pattern, 1), F.lit(fmt)))
+    df = df.withColumn(column, F.regexp_replace(F.col(column), pattern, ""))
+    if missing_action == "drop":
+        df = df.filter(F.col("m_timestamp").isNotNull())
+    elif missing_action == "fill-lastseen":
+        w = Window.partitionBy(file_col).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+        df = df.withColumn("m_timestamp", F.last("m_timestamp", ignorenulls=True).over(w))
+    elif missing_action == "fill-next":
+        df = backward_fill_timestamps(df, "m_timestamp", file_col, order_col)
+    return df
+
+
+def combine_file_date(
+    df: DataFrame,
+    file_dates: dict[str, str],
+    file_col: str = "file_name",
+    ts_col: str = "m_timestamp",
+) -> DataFrame:
+    """Date from file metadata + time-of-day from the log line, with
+    midnight-rollover correction (loaders/raw.py:103-141): when the file's
+    mtime-of-day is earlier than a near-midnight log time, the log line
+    belongs to the previous day.
+
+    ``file_dates`` maps file name -> 'yyyy-MM-dd HH:mm:ss' (driver-side file
+    metadata, as in the reference); it is tiny and enters the plan as a
+    literal map.
+    """
+    mapping = F.create_map(*[F.lit(x) for kv in file_dates.items() for x in kv])
+    df = df.withColumn("_file_ts", F.to_timestamp(mapping[F.col(file_col)]))
+    log_time_s = (
+        F.hour(ts_col) * 3600 + F.minute(ts_col) * 60 + F.second(ts_col)
+    )
+    file_time_s = F.hour("_file_ts") * 3600 + F.minute("_file_ts") * 60 + F.second("_file_ts")
+    rollover = (file_time_s < log_time_s) & (F.hour(ts_col) == 23)
+    base_date = F.when(rollover, F.date_sub(F.to_date("_file_ts"), 1)).otherwise(F.to_date("_file_ts"))
+    combined = F.to_timestamp(
+        F.concat(base_date.cast("string"), F.lit(" "), F.date_format(ts_col, "HH:mm:ss"))
+    )
+    return df.withColumn(ts_col, combined).drop("_file_ts")
+
+
+def parse_hadoop_labels(spark: SparkSession, text: str) -> DataFrame:
+    """Parse the Hadoop abnormal_label.txt format into (app_id, app_name,
+    Label) — stateful line parser (loaders/hadoop.py:112-133), driver-side
+    because the file is tiny; result joins broadcast."""
+    rows = []
+    app_name = anomaly = None
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("###"):
+            app_name = line.split("###")[1].strip()
+        elif line.endswith(":"):
+            anomaly = line[:-1]
+        elif line.startswith("+"):
+            rows.append((line.split("+")[1].strip(), app_name, anomaly))
+    return spark.createDataFrame(rows, "app_id string, app_name string, Label string")

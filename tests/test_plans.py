@@ -1,0 +1,91 @@
+"""Physical-plan quality gates (the 100-TB contract, SURVEY.md §4.2).
+
+These assert the plan SHAPE, not timings: filters reach the parquet scan,
+column pruning works, small dims broadcast, the narrow enhancer chain has
+zero exchanges, and the fused sequence aggregation shuffles exactly once.
+A regression here is a scale bug even when sf0.01 results stay correct.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparklead import synth
+from sparklead.enhancers import eventlog as E
+from sparklead.enhancers.sequence import aggregate_sequences
+from sparklead.pipeline import enrich_stage, parse_stage
+from sparklead.sources.hdfs import load_hdfs_events
+
+
+def _formatted(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+    p = _formatted(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # only the 3 referenced columns are read, not all 16
+    assert read_cols == {"l_returnflag", "l_quantity", "l_shipdate"}
+
+
+def test_small_dim_joins_broadcast(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    q = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    p = _physical(q)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p or p.count("BroadcastHashJoin") >= 1
+
+
+def test_enhancer_chain_is_narrow(spark):
+    raw = synth.raw_log_corpus(spark, 50)
+    enh = E.event_id(
+        E.length(E.trigrams(E.alphanumerics(E.words(E.normalize(load_hdfs_events(raw)), "e_message_normalized"))))
+    )
+    p = _physical(enh)
+    assert "Exchange" not in p  # zero shuffles: the whole chain is map-side
+
+
+def test_sequence_agg_single_shuffle(spark):
+    raw = synth.raw_log_corpus(spark, 50)
+    enh = E.event_id(E.length(E.words(E.normalize(load_hdfs_events(raw)), "e_message_normalized")))
+    seq = aggregate_sequences(enh, event_col="e_event_mask_id")
+    p = _physical(seq)
+    # every SequenceEnhancer feature in ONE groupBy -> exactly one exchange
+    # (the reference runs one groupBy+join PER feature, sequence.py:13-80)
+    assert p.count("Exchange") == 1
+
+
+def test_pipeline_enrich_broadcast_only(spark):
+    enr = enrich_stage(parse_stage(synth.pretokenized(spark, 100)), synth.source_meta(spark))
+    p = _physical(enr)
+    assert "BroadcastHashJoin" in p
+    kinds = set(re.findall(r"(\w*Exchange)", p))
+    assert kinds <= {"BroadcastExchange"}  # no shuffle exchange anywhere
+
+
+def test_detector_scoring_broadcasts_model_tables(spark):
+    from sparklead.detectors.rarity import rarity_fit, rarity_score
+
+    docs = spark.createDataFrame([(i, ["a", "b"]) for i in range(50)], "seq_id int, e_words array<string>")
+    out = rarity_score(docs, rarity_fit(docs))
+    assert "BroadcastHashJoin" in _physical(out)

@@ -1,0 +1,171 @@
+"""THE north-rule scaling demonstration: a real multi-executor Spark
+standalone cluster on this host, driven by ``spark-submit --py-files``, at
+N and 4N executors (separate worker JVMs, 2 cores + 3g each).
+
+Separate executor JVMs model a real cluster faithfully (each has its own
+heap/GC) and sidestep the single-JVM thread-scaling wall documented in
+BENCH.md. Same job, same materialized input at both sizes.
+
+Appends results to BENCH.md. Usage: python tools/cluster_bench.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+import pyspark
+
+SPARK_BIN = os.path.join(os.path.dirname(pyspark.__file__), "bin")
+MASTER = "spark://127.0.0.1:7077"
+
+
+def _spawn_class(cls: str, *args: str, log: str) -> subprocess.Popen:
+    return subprocess.Popen(
+        [os.path.join(SPARK_BIN, "spark-class"), cls, *args],
+        stdout=open(log, "w"),
+        stderr=subprocess.STDOUT,
+    )
+
+
+def start_master() -> subprocess.Popen:
+    p = _spawn_class(
+        "org.apache.spark.deploy.master.Master",
+        "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8091",
+        log="/tmp/sparklead-master.log",
+    )
+    time.sleep(8)
+    return p
+
+
+def start_workers(n: int, cores: int = 2, mem: str = "4g") -> list[subprocess.Popen]:
+    ws = []
+    for i in range(n):
+        env = dict(os.environ, SPARK_WORKER_DIR=f"/tmp/sparklead-worker-{i}")
+        p = subprocess.Popen(
+            [
+                os.path.join(SPARK_BIN, "spark-class"),
+                "org.apache.spark.deploy.worker.Worker",
+                MASTER, "--cores", str(cores), "--memory", mem,
+                "--port", "0", "--webui-port", "0", "--host", "127.0.0.1",
+            ],
+            stdout=open(f"/tmp/sparklead-worker-{i}.log", "w"),
+            stderr=subprocess.STDOUT,
+            env=env,
+        )
+        ws.append(p)
+    time.sleep(10)
+    return ws
+
+
+def submit(input_dir: str, out_dir: str, total_cores: int, pyfiles: str) -> dict:
+    cmd = [
+        os.path.join(SPARK_BIN, "spark-submit"),
+        "--master", MASTER,
+        "--py-files", pyfiles,
+        "--conf", "spark.executor.cores=2",
+        "--conf", "spark.executor.memory=3g",
+        "--conf", f"spark.cores.max={total_cores}",
+        "--conf", f"spark.sql.shuffle.partitions={max(total_cores, 8)}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.executor.extraJavaOptions=-XX:+UseParallelGC",
+        os.path.join(REPO, "tools", "cluster_job.py"),
+        input_dir, out_dir,
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
+    for line in out.stdout.splitlines():
+        if line.startswith("CLUSTER_RESULT "):
+            return json.loads(line[len("CLUSTER_RESULT "):])
+    raise RuntimeError("no CLUSTER_RESULT in submit output:\n" + out.stdout[-2000:] + out.stderr[-2000:])
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    pyfiles = "/tmp/sparklead-pkg.zip"
+    if os.path.exists(pyfiles):
+        os.remove(pyfiles)
+    subprocess.run(["zip", "-qr", pyfiles, "sparklead"], cwd=REPO, check=True)
+
+    input_dir = tempfile.mkdtemp(prefix="sparklead_cluster_in_")
+    master = workers = None
+    try:
+        subprocess.run(
+            [
+                sys.executable, "-c",
+                (
+                    "import sys; sys.path.insert(0, %r);"
+                    "from sparklead import get_spark, synth;"
+                    "s = get_spark('gen', master='local[16]', shuffle_partitions=16);"
+                    "s.sparkContext.setLogLevel('ERROR');"
+                    "synth.pretokenized(s, %d, partitions=64).write.mode('overwrite').parquet(%r);"
+                    "s.stop()"
+                ) % (REPO, n_docs, input_dir),
+            ],
+            check=True, capture_output=True, text=True,
+        )
+        master = start_master()
+        workers = start_workers(4)  # capacity for the 4N run; cores.max gates N
+        results = {}
+        for label, cores in (("N", 2), ("4N", 8)):
+            subprocess.run(["sync"], check=False)
+            time.sleep(3)
+            out_dir = tempfile.mkdtemp(prefix="sparklead_cluster_out_")
+            try:
+                results[label] = submit(input_dir, out_dir, cores, pyfiles)
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
+        lo = results["N"]
+        hi = results["4N"]
+        eff = (hi["seqs_per_sec"] / lo["seqs_per_sec"]) / 4
+        summary = {
+            "n_docs": n_docs,
+            "N_executors": 1,
+            "4N_executors": 4,
+            "throughput_N": lo["seqs_per_sec"],
+            "throughput_4N": hi["seqs_per_sec"],
+            "wall_N": lo["wall_sec"],
+            "wall_4N": hi["wall_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "target": 0.8,
+            "pass": eff >= 0.8,
+        }
+        print(json.dumps(summary))
+        md = [
+            "",
+            "## Multi-executor cluster evidence (spark-submit --py-files, standalone)",
+            "",
+            "A REAL multi-executor run, exactly as the north rule words it: a Spark",
+            "standalone master + 4 worker JVMs on this host; the job is submitted",
+            "with `spark-submit --master spark://... --py-files sparklead.zip`;",
+            "cluster size is varied via `spark.cores.max` (1 executor vs 4 executors,",
+            "2 cores + 3g heap each — separate JVMs, as on a real",
+            f"cluster). Same job, same materialized input ({n_docs:,} sequences):",
+            "",
+            "| cluster size | executors | wall (s) | throughput (seqs/sec) |",
+            "|---|---|---|---|",
+            f"| N | {lo['executors']} | {lo['wall_sec']} | {lo['seqs_per_sec']:,} |",
+            f"| 4N | {hi['executors']} | {hi['wall_sec']} | {hi['seqs_per_sec']:,} |",
+            "",
+            f"**Scaling efficiency (N→4N executors): {eff:.3f}** "
+            f"(target ≥ 0.8 → {'PASS' if eff >= 0.8 else 'FAIL'})",
+            "",
+        ]
+        with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+            f.write("\n".join(md))
+    finally:
+        shutil.rmtree(input_dir, ignore_errors=True)
+        for w in workers or []:
+            w.terminate()
+        if master:
+            master.terminate()
+
+
+if __name__ == "__main__":
+    main()
