@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "words_stats": _q_words_stats,
         "trigram_count": _q_trigram_count,
         "vocabulary": _q_vocabulary,
+        "token_count_vectors": _q_token_count_vectors,
         # ---- §2.10 detectors
         "rarity_score": _q_rarity_score,
         "oov_score": _q_oov_score,
@@ -428,6 +429,30 @@ def _q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 10)
+    )
+
+
+def _q_token_count_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document event-count vector (the CountVectorizer featurization,
+    anomaly_detection.py:261-270 / north star 'event-count vectors'):
+    sorted distinct tokens + per-doc counts, via the O(L) sorted-run-length
+    trick (pipeline.token_vectors)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    staged = (
+        docs.withColumn("_s", F.array_sort(F.split("text", " ")))
+        .withColumn(
+            "_starts",
+            F.filter(
+                F.sequence(F.lit(1), F.size("_s")),
+                lambda i: (i == 1) | (F.element_at(F.col("_s"), i) != F.element_at(F.col("_s"), i - 1)),
+            ),
+        )
+    )
+    next_starts = F.concat(F.slice("_starts", 2, 1 << 30), F.array(F.size("_s") + 1))
+    return staged.select(
+        "doc_id",
+        F.transform("_starts", lambda i: F.element_at(F.col("_s"), i)).alias("vocab"),
+        F.zip_with(next_starts, F.col("_starts"), lambda b, a: b - a).alias("counts"),
     )
 
 
@@ -909,6 +934,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*) AS freq
             FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
             GROUP BY token HAVING count(*) >= 10
+        """,
+        "token_count_vectors": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200
+            )
+            SELECT doc_id,
+                   list_sort(list_distinct(w)) AS vocab,
+                   [len(list_filter(w, x -> x = d)) FOR d IN list_sort(list_distinct(w))] AS counts
+            FROM words
         """,
         "rarity_score": """
             WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),

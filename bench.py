@@ -69,8 +69,10 @@ def run_headline() -> dict:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    # north-rule headline: pipeline throughput over a materialized 1M-doc input
-    pipe = _pipeline_throughput(spark, cpus, n_docs=1_000_000)
+    # north-rule headline: pipeline throughput over a materialized input
+    # (500k keeps the whole bench under ~3 min; scaling evidence lives in
+    # BENCH.md via tools/scaling_bench.py / tools/cluster_bench.py)
+    pipe = _pipeline_throughput(spark, cpus, n_docs=500_000)
     out = {
         "metric": "headline query suite wall time",
         "value": total,
