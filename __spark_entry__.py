@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_score": _q_oov_score,
         "nep_bigram": _q_nep_bigram,
         "log_distance": _q_log_distance,
+        "line_diff": _q_line_diff,
+        "union_by_name": _q_union_by_name,
         # ---- training-data ops (dedup / similarity / text)
         "exact_dedup": _q_exact_dedup,
         "minhash_signature": _q_minhash_signature,
@@ -503,6 +505,32 @@ def _q_log_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).alias("cosine"),
         F.round("jaccard", 6).alias("jaccard"),
         F.round("containment", 6).alias("containment"),
+    )
+
+
+def _q_line_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational two-run line diff (anomaly_detection.py:84-119 analog):
+    run A = docs of src0 ordered, run B = same with every 5th line 'edited'."""
+    from sparklead.detectors.linediff import line_diff
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    a = docs.select(F.col("doc_id").alias("line_nr"), F.col("text").alias("m_message"))
+    b = docs.filter(F.col("doc_id") % 7 != 3).select(
+        F.col("doc_id").alias("line_nr"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" EDITED"))).otherwise(F.col("text")).alias("m_message"),
+    )
+    return line_diff(a, b).select("line_nr", "status")
+
+
+def _q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with missing columns (vertical concat with column
+    standardization, nezha.py:101-115 / raw.py:81)."""
+    ev = _read(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") < 100).select("event_id", "event_type", "value")
+    b = ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200)).select("event_id", "event_type")
+    u = a.unionByName(b.withColumn("value", F.lit(None).cast("double")), allowMissingColumns=True)
+    return u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
     )
 
 
@@ -1009,6 +1037,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END)
                          / sum(CASE WHEN a > 0 THEN 1 ELSE 0 END)::double, 6) AS containment
             FROM j
+        """,
+        "line_diff": """
+            WITH a AS (SELECT doc_id AS line_nr, text AS msg FROM documents WHERE source = 'src0'),
+                 b AS (SELECT doc_id AS line_nr,
+                              CASE WHEN doc_id % 5 = 0 THEN text || ' EDITED' ELSE text END AS msg
+                       FROM documents WHERE source = 'src0' AND doc_id % 7 <> 3)
+            SELECT coalesce(a.line_nr, b.line_nr) AS line_nr,
+                   CASE WHEN a.msg IS NULL THEN 'added'
+                        WHEN b.msg IS NULL THEN 'removed'
+                        WHEN a.msg = b.msg THEN 'same' ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.line_nr = b.line_nr
+        """,
+        "union_by_name": """
+            SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value FROM (
+              SELECT event_id, event_type, value FROM events WHERE event_id < 100
+              UNION ALL
+              SELECT event_id, event_type, NULL::double AS value FROM events
+              WHERE event_id >= 100 AND event_id < 200
+            ) GROUP BY event_type
         """,
         "exact_dedup": """
             SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
