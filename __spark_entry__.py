@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": _q_minhash_signature,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "knn_cosine": _q_knn_cosine,
+        "ivf_topk": _q_ivf_topk,
         "embedding_mean_by_label": _q_embedding_mean_by_label,
         "lang_quality": _q_lang_quality,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -582,6 +583,16 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10)
     out = brute_force_topk(q, emb, k=3)
     return out.select("query_id", "neighbor_id", "rank")
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans-cell) approximate nearest neighbors — the ANN scale path.
+    Rows-only: KMeans centroids aren't reproducible in SQL."""
+    from sparklead.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(q, emb, k=3, n_centroids=8, n_probe=3).select("query_id", "neighbor_id", "rank")
 
 
 def _q_embedding_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -87,3 +87,16 @@ def test_multimodal_plumbing(spark):
     assert all(np.allclose(again[r["media_id"]], r["feature"]) for r in rows)
     frames = multimodal.frame_sample_plan(media)
     assert frames.filter(F.col("frame_ts_ms") < 0).count() == 0
+
+
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    exact = similarity.brute_force_topk(q, emb, k=3)
+    approx = similarity.ivf_topk(q, emb, k=3, n_centroids=4, n_probe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # probing 3 of 4 cells must recover most exact neighbors
+    assert len(e & a) / len(e) >= 0.5
+    # and ranks are exact within the probed candidate set
+    assert approx.filter("rank > 3").count() == 0

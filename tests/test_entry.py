@@ -16,7 +16,7 @@ def test_oracle_keys_subset_of_queries():
     assert o <= q
     # every non-oracle query is documented as rows-only
     rows_only = q - o
-    assert rows_only == {"drain_templates", "pliplom_templates", "ael_templates", "brain_templates", "spell_templates", "lenma_templates", "ad_predictions", "streaming_route", "simhash_groups", "pipeline_source_agg", "multimodal_features"}
+    assert rows_only == {"drain_templates", "pliplom_templates", "ael_templates", "brain_templates", "spell_templates", "lenma_templates", "ad_predictions", "streaming_route", "simhash_groups", "pipeline_source_agg", "multimodal_features", "ivf_topk"}
 
 
 def test_queries_run_at_sf0001(spark, sf_dir):
