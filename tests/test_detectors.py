@@ -69,3 +69,15 @@ def test_log_distance_identical_runs(spark):
     assert abs(r["cosine"] - 1.0) < 1e-9
     assert r["jaccard"] == 1.0
     assert r["containment"] == 1.0
+
+
+def test_results_aggregator_pivot():
+    from sparklead.detectors.report import ResultsAggregator
+
+    agg = ResultsAggregator()
+    agg.store("LR", "events", {"f1": 0.9, "accuracy": 0.95})
+    agg.store("LR", "words", {"f1": 0.8, "accuracy": 0.9})
+    agg.store("KMEANS", "events", {"f1": 0.5, "accuracy": 0.6})
+    p = agg.pivot("f1")
+    assert p.loc["su-LR", "events"] == 0.9
+    assert p.loc["us-KMEANS", "events"] == 0.5
