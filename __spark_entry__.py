@@ -56,6 +56,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # =====================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Operator -> query map. Several entries each demonstrate MORE THAN ONE
+    SURVEY §2 operator (the driver gate records the first 50 entries, so
+    same-table/same-grain operators share one gated result frame; the
+    operator->query mapping is documented per-entry in COVERAGE.md)."""
     return {
         # ---- §2.4 aggregations: SequenceEnhancer-style fused groupBy
         "seq_aggregates": _q_seq_aggregates,
@@ -63,7 +67,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_counts": _q_value_counts,
         "group_bool_fold": _q_group_bool_fold,
         "group_concat": _q_group_concat,
-        "distinct_seq": _q_distinct_seq,
         # ---- §2.3 joins
         "broadcast_enrich": _q_broadcast_enrich,
         "semi_join_filter": _q_semi_join_filter,
@@ -72,57 +75,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- §2.5 windows / order-dependent
         "sessionize": _q_sessionize,
         "item_cumsum": _q_item_cumsum,
-        "first_occurrence": _q_first_occurrence,
-        "backward_fill": _q_backward_fill,
+        "window_fill_flags": _q_window_fill_flags,
         "topk_per_group": _q_topk_per_group,
         # ---- §2.2 projections / predicates / scalar fns
         "field_split": _q_field_split,
-        "regex_extract_mask": _q_regex_extract_mask,
-        "json_decode": _q_json_decode,
-        "timestamp_bucket": _q_timestamp_bucket,
+        "regex_json_extract": _q_regex_json_extract,
         "epoch_decode": _q_epoch_decode,
         "whitespace_squeeze": _q_whitespace_squeeze,
-        "conditional_map": _q_conditional_map,
-        "median_per_group": _q_median_per_group,
+        "conditional_median": _q_conditional_median,
         # ---- §2.1 loaders (literal-row demos, oracled via VALUES)
         "bgl_load": _q_bgl_load,
         "multiline_merge": _q_multiline_merge,
+        "adfa_load": _q_adfa_load,
+        "awsctd_load": _q_awsctd_load,
+        "pro_load": _q_pro_load,
+        "lo2_load": _q_lo2_load,
         # ---- §2.7/§2.8 token/array ops
-        "words_stats": _q_words_stats,
-        "trigram_count": _q_trigram_count,
+        "doc_token_stats": _q_doc_token_stats,
         "vocabulary": _q_vocabulary,
         "token_count_vectors": _q_token_count_vectors,
         # ---- §2.10 detectors
-        "rarity_score": _q_rarity_score,
-        "oov_score": _q_oov_score,
+        "rarity_oov": _q_rarity_oov,
         "nep_bigram": _q_nep_bigram,
         "log_distance": _q_log_distance,
         "line_diff": _q_line_diff,
         "union_by_name": _q_union_by_name,
+        "auc_threshold": _q_auc_threshold,
         # ---- training-data ops (dedup / similarity / text)
         "exact_dedup": _q_exact_dedup,
         "minhash_signature": _q_minhash_signature,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "knn_cosine": _q_knn_cosine,
-        "ivf_topk": _q_ivf_topk,
         "embedding_mean_by_label": _q_embedding_mean_by_label,
         "lang_quality": _q_lang_quality,
-        "doc_fingerprint": _q_doc_fingerprint,
         # ---- TPC-H-style classics (scan pushdown / partial agg / join order)
         "tpch_q1_pricing": _q_tpch_q1,
         "tpch_join_enrich": _q_tpch_join,
         # ---- non-SQL-expressible (rows-only checks)
-        "drain_templates": _q_drain_templates,
-        "pliplom_templates": _q_pliplom_templates,
-        "ael_templates": _q_ael_templates,
-        "brain_templates": _q_brain_templates,
-        "spell_templates": _q_spell_templates,
-        "lenma_templates": _q_lenma_templates,
+        "parser_templates": _q_parser_templates,
         "ad_predictions": _q_ad_predictions,
         "streaming_route": _q_streaming_route,
         "simhash_groups": _q_simhash_groups,
         "pipeline_source_agg": _q_pipeline_source_agg,
         "multimodal_features": _q_multimodal_features,
+        "ivf_topk": _q_ivf_topk,
     }
 
 
@@ -179,11 +175,6 @@ def _q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(F.col("user_id").alias("seq_id")).agg(
         F.concat_ws("\n", ordered).alias("joined")
     )
-
-
-def _q_distinct_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read(spark, sf_dir, "events")
-    return ev.select(F.col("user_id").alias("seq_id")).distinct()
 
 
 # ---------------------------------------------------------------- §2.3
@@ -258,22 +249,18 @@ def _q_item_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """is_first_distinct flag (eventlog.py:447)."""
-    ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id", (F.row_number().over(w) == 1).alias("is_first")
-    ).filter(F.col("is_first"))
-
-
-def _q_backward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fill_null(strategy='backward') per user (raw.py:165-169); nulls injected on value<5."""
+def _q_window_fill_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two window operators in one frame: backward fill (fill_null
+    strategy='backward' per user, raw.py:165-169; nulls injected on value<5)
+    and the is_first_distinct flag (eventlog.py:447)."""
     ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     v = F.when(F.col("value") >= 5, F.col("value"))
-    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(0, Window.unboundedFollowing)
+    w_fill = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(0, Window.unboundedFollowing)
+    w_first = Window.partitionBy("event_type").orderBy("ts", "event_id")
     return ev.select(
-        "event_id", F.round(F.first(v, ignorenulls=True).over(w), 6).alias("value_filled")
+        "event_id",
+        F.round(F.first(v, ignorenulls=True).over(w_fill), 6).alias("value_filled"),
+        (F.row_number().over(w_first) == 1).alias("is_first"),
     )
 
 
@@ -301,39 +288,28 @@ def _q_field_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_regex_extract_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """regexp_extract + masking regexp_replace (hdfs.py:33, eventlog.py:403-429)."""
+def _q_regex_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract + masking regexp_replace (hdfs.py:33,
+    eventlog.py:403-429) + from_json struct decode (nezha.py:280-305,
+    gelf.py:16-17) — three scalar extract operators, one frame."""
     ev = _read(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.regexp_extract("props", r'"k": (\d+)', 1).alias("k_str"),
         F.regexp_replace("props", r"\d+", "<NUM>").alias("props_masked"),
-    )
-
-
-def _q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """from_json struct decode (nezha.py:280-305, gelf.py:16-17)."""
-    ev = _read(spark, sf_dir, "events")
-    return ev.select(
-        "event_id", F.from_json("props", "k int").getField("k").alias("k")
-    )
-
-
-def _q_timestamp_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timestamp scalar functions: truncation + epoch + parts."""
-    ev = _read(spark, sf_dir, "events")
-    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour_bucket")).agg(
-        F.count(F.lit(1)).alias("n")
+        F.from_json("props", "k int").getField("k").alias("k"),
     )
 
 
 def _q_epoch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Epoch encode/decode round-trip (bgl.py:20, supercomputers.py:27)."""
+    """Epoch encode/decode round-trip (bgl.py:20, supercomputers.py:27)
+    + hour truncation bucket (timestamp scalar surface)."""
     ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     return ev.select(
         "event_id",
         F.unix_timestamp("ts").alias("epoch_s"),
         F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts_roundtrip"),
+        F.date_trunc("hour", "ts").alias("hour_bucket"),
     )
 
 
@@ -346,22 +322,18 @@ def _q_whitespace_squeeze(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_conditional_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """when/otherwise conditional expression (eventlog.py:260-263)."""
+def _q_conditional_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise conditional expression (eventlog.py:260-263) grouped
+    with an exact per-group median (sequence.py:23-27 time_stamp median)."""
     ev = _read(spark, sf_dir, "events")
     sev = (
         F.when(F.col("event_type") == "error", "high")
         .when(F.col("value") > 30, "medium")
         .otherwise("low")
     )
-    return ev.groupBy(sev.alias("severity")).agg(F.count(F.lit(1)).alias("n"))
-
-
-def _q_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median per group (sequence.py:23-27 time_stamp median)."""
-    ev = _read(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value")
+    return ev.groupBy(sev.alias("severity")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
     )
 
 
@@ -399,29 +371,105 @@ def _q_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_multiline(df).select("file_name", "line_nr", "m_message")
 
 
+_ADFA_LINES = [
+    ("6 6 63 6 42 120 6 195", "ADFA-LD/Training_Data_Master/UTD-0001.txt"),
+    ("240 311 240 311", "ADFA-LD/Attack_Data_Master/Adduser_2_1/UAD-Adduser-1-2262.txt"),
+    (" 6 174 174 6 ", "ADFA-LD/Validation_Data_Master/UVD-0002.txt"),
+]
+
+
+def _q_adfa_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADFA loader: syscall-id explode + path-derived label + any-fold
+    (loaders/adfa.py:30-68) on literal rows so DuckDB can replay it."""
+    from sparklead.sources.datasets import adfa_events, adfa_sequences
+
+    df = spark.createDataFrame(_ADFA_LINES, "m_message string, file_path string")
+    return adfa_sequences(adfa_events(df)).select("seq_id", "n_events", "anomaly", "normal")
+
+
+_AWSCTD_LINES = [
+    ("240,311,240,240,311,Clean", "CSV/Exploit1"),
+    ("120,6,120,Virus", "CSV/Exploit2"),
+    ("6,Clean", "CSV/Exploit3"),
+]
+
+
+def _q_awsctd_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWSCTD loader: trailing-label split + syscall-list slice
+    (loaders/awsctd.py:43-68; element_at/slice instead of row lambdas)."""
+    from sparklead.sources.datasets import awsctd_sequences
+
+    df = spark.createDataFrame(_AWSCTD_LINES, "m_message string, seq_id string")
+    s = awsctd_sequences(df)
+    return s.select(
+        "seq_id", F.array_join("events", " ").alias("events_str"), "label", "normal", "anomaly"
+    )
+
+
+_PRO_LINES = [
+    ("1  12.05.2016 09:00:01.116 sysA  4  2  INFO  core started ok", "success_run1.log"),
+    ("2 12.05.2016 09:00:02.250 sysB 4 3 WARN buffer   low", "fail_run2.log"),
+]
+
+
+def _q_pro_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pro loader: whitespace squeeze + 8-field split w/ remainder +
+    dd.MM.yyyy time concat parse + filename normal flag (loaders/pro.py:23-48)."""
+    from sparklead.sources.datasets import pro_events
+
+    df = spark.createDataFrame(_PRO_LINES, "m_message string, seq_id string")
+    return pro_events(df).select(
+        "seq_id", "count", "system", "log_level", "m_message", "m_timestamp", "normal"
+    )
+
+
+_LO2_LINES = [
+    ("09:00:01.123 GET /token ok", "run1", "correct", "oauth2-oauth2-token"),
+    ("09:00:02.456 POST /token created", "run1", "correct", "oauth2-oauth2-token"),
+    ("09:01:02.456 GET /token denied", "run1", "key-error", "oauth2-oauth2-token"),
+    ("no timestamp on this line", "run1", "correct", "oauth2-oauth2-token"),
+]
+
+
+def _q_lo2_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LO2 loader: timestamp-prefix extract + multi-format coalesce parse +
+    drop-null-ts + seq fold w/ ordered concat (loaders/lo2.py:120,200-246).
+    Times are compared as formatted strings — the engines' default DATE for
+    a time-only parse differs (Spark 1970 vs strptime 1900), which the
+    reference itself calls out (lo2.py:219)."""
+    from sparklead.sources.datasets import lo2_events, lo2_sequences
+
+    df = spark.createDataFrame(_LO2_LINES, "m_message string, run string, test_case string, service string")
+    out = lo2_sequences(lo2_events(df))
+    return out.select(
+        "seq_id",
+        "m_message",
+        "normal",
+        "anomaly",
+        F.date_format("start_time", "HH:mm:ss.SSS").alias("start_hms"),
+        F.date_format("end_time", "HH:mm:ss.SSS").alias("end_hms"),
+    )
+
+
 # ---------------------------------------------------------------- §2.7/2.8
 
-def _q_words_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """words() enhancer over documents: token counts per row (eventlog.py:42-51)."""
+def _q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """words() enhancer stats per row (eventlog.py:42-51) + char-trigram
+    distinct count via the 3-shift trick (set-equality contract,
+    eventlog.py:82-107) — one per-document frame."""
+    from sparklead.enhancers.eventlog import trigrams
+
     docs = _read(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    return docs.select(
+    t = trigrams(docs, "text")
+    return t.select(
         "doc_id",
         F.size(words).alias("e_words_len"),
         F.size(F.array_distinct(words)).alias("n_distinct"),
         F.element_at(words, 1).alias("first_word"),
         F.element_at(words, -1).alias("last_word"),
+        F.size(F.array_distinct("e_trigrams")).alias("n_distinct_trigrams"),
     )
-
-
-def _q_trigram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-trigram extraction via the 3-shift trick; distinct count per doc
-    (set-equality contract, eventlog.py:82-107)."""
-    docs = _read(spark, sf_dir, "documents")
-    from sparklead.enhancers.eventlog import trigrams
-
-    t = trigrams(docs.select("doc_id", "text"), "text")
-    return t.select("doc_id", F.size(F.array_distinct("e_trigrams")).alias("n_distinct_trigrams"))
 
 
 def _q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,10 +500,20 @@ def _q_token_count_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     next_starts = F.concat(F.slice("_starts", 2, 1 << 30), F.array(F.size("_s") + 1))
+    # arrays serialized to strings so the gate's canonicalizer can hash the
+    # cells (list cells are unhashable in the driver's pandas sort+hash)
     return staged.select(
         "doc_id",
-        F.transform("_starts", lambda i: F.element_at(F.col("_s"), i)).alias("vocab"),
-        F.zip_with(next_starts, F.col("_starts"), lambda b, a: b - a).alias("counts"),
+        F.array_join(
+            F.transform("_starts", lambda i: F.element_at(F.col("_s"), i)), " "
+        ).alias("vocab"),
+        F.array_join(
+            F.transform(
+                F.zip_with(next_starts, F.col("_starts"), lambda b, a: b - a),
+                lambda x: x.cast("string"),
+            ),
+            " ",
+        ).alias("counts"),
     )
 
 
@@ -466,22 +524,20 @@ def _train_test_docs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
     return docs.filter(F.col("doc_id") % 5 != 0), docs.filter(F.col("doc_id") % 5 == 0)
 
 
-def _q_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_rarity_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RarityModel + OOV detector scores joined per test doc (both operate on
+    the same train/test split; anomaly_detection.py RarityModel/OOVDetector)."""
+    from sparklead.detectors.oov import oov_score
     from sparklead.detectors.rarity import rarity_fit, rarity_score
 
     train, test = _train_test_docs(spark, sf_dir)
-    st = rarity_fit(train, "e_words")
-    out = rarity_score(test, st, key_col="doc_id", tokens_col="e_words")
-    return out.select("doc_id", F.round("rarity_score", 6).alias("rarity_score"), "is_ano")
-
-
-def _q_oov_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparklead.detectors.oov import oov_score
-
-    train, test = _train_test_docs(spark, sf_dir)
-    return oov_score(test, train, key_col="doc_id", tokens_col="e_words").select(
-        "doc_id", "oov_score", "is_ano"
+    r = rarity_score(test, rarity_fit(train, "e_words"), key_col="doc_id", tokens_col="e_words").select(
+        "doc_id", F.round("rarity_score", 6).alias("rarity_score"), F.col("is_ano").alias("rarity_ano")
     )
+    o = oov_score(test, train, key_col="doc_id", tokens_col="e_words").select(
+        "doc_id", "oov_score", F.col("is_ano").alias("oov_ano")
+    )
+    return r.join(o, "doc_id")
 
 
 def _q_nep_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,13 +591,42 @@ def _q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_auc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational ROC-AUC (rank-sum over the score histogram) + best-F1
+    threshold sweep (anomaly_detection.py:426-530 analog) — no collect, no
+    sklearn; label = event_type=='error', score = value."""
+    from sparklead.detectors.ad import roc_auc, threshold_search
+
+    ev = _read(spark, sf_dir, "events")
+    scores = ev.select(
+        (F.col("event_type") == "error").cast("int").alias("label"),
+        F.col("value").alias("score"),
+    )
+    return (
+        roc_auc(scores)
+        .crossJoin(threshold_search(scores))
+        .select(
+            F.round("auc", 6).alias("auc"),
+            F.round("best_thr", 6).alias("best_thr"),
+            F.round("best_f1", 6).alias("best_f1"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- training-data ops
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with SEEDED duplicates: every 10th doc is
+    re-inserted verbatim under doc_id+100000 (the synthetic corpus itself has
+    zero duplicate texts, so without seeding every group is trivially size 1;
+    mirrors the reference's derive-b-from-a sampling shape, base.py:127-149)."""
     from sparklead.dedup import exact_duplicates
 
     docs = _read(spark, sf_dir, "documents")
-    return exact_duplicates(docs).select("content_hash", "n_dups", "keep_id")
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return exact_duplicates(docs.unionByName(dupes)).select("content_hash", "n_dups", "keep_id")
 
 
 def _q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,11 +639,22 @@ def _q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard on a small id window (verification kernel)."""
+    """Exact word-3-gram Jaccard on a small id window (verification kernel).
+
+    Near-duplicates are SEEDED: each doc_id<40 also appears as doc_id+1000
+    with two tokens appended (token-level perturbation, the reference's
+    derive-b-from-a shape) — true Jaccard vs its source is (L-2)/L >> 0.2,
+    so the >0.2 filter returns exactly the seeded pairs (non-vacuous; the
+    raw corpus maxes out at 0.02)."""
     from sparklead.dedup import word_shingles
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    sh = docs.select(F.col("doc_id").alias("id"), word_shingles("text", 3).alias("sh"))
+    near = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" nearly duplicated")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(near)
+    sh = corpus.select(F.col("doc_id").alias("id"), word_shingles("text", 3).alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
@@ -607,10 +703,12 @@ def _q_embedding_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparklead.textstats import lang_id, quality_score, token_counts
+    """Text-analysis suite per doc: language-ID, quality score, token counts
+    AND the winnowing document fingerprint — one per-document frame."""
+    from sparklead.textstats import fingerprint, lang_id, quality_score, token_counts
 
     docs = _read(spark, sf_dir, "documents")
-    out = quality_score(lang_id(token_counts(docs)))
+    out = fingerprint(quality_score(lang_id(token_counts(docs))))
     return out.select(
         "doc_id",
         "n_ws_tokens",
@@ -618,14 +716,8 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_pred",
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
         F.round("quality", 6).alias("quality"),
+        "fingerprint",
     )
-
-
-def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparklead.textstats import fingerprint
-
-    docs = _read(spark, sf_dir, "documents")
-    return fingerprint(docs).select("doc_id", "fingerprint")
 
 
 # ---------------------------------------------------------------- TPC-H classics
@@ -661,32 +753,6 @@ def _q_tpch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- rows-only (no SQL oracle)
 
-def _q_drain_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase Drain mining on the synthetic corpus: template table."""
-    from sparklead import synth
-    from sparklead.enhancers import eventlog as E
-    from sparklead.mining.drain import DrainMiner
-    from sparklead.sources.hdfs import load_hdfs_events
-
-    raw = synth.raw_log_corpus(spark, 4000)
-    ev = load_hdfs_events(raw)
-    df = E.words(E.normalize(ev), "e_message_normalized")
-    miner = DrainMiner().fit(df, "e_words")
-    return miner.templates_df(spark).select("template_id", "template", "count")
-
-
-def _q_pliplom_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PL-IPLoM iterative-partitioning miner on the synthetic corpus."""
-    from sparklead import synth
-    from sparklead.enhancers import eventlog as E
-    from sparklead.mining.pl_iplom import pl_iplom_templates
-    from sparklead.sources.hdfs import load_hdfs_events
-
-    raw = synth.raw_log_corpus(spark, 4000)
-    df = E.words(E.normalize(load_hdfs_events(raw)), "e_message_normalized")
-    return pl_iplom_templates(df, "e_words").select("template_id", "template", "part_len")
-
-
 def _mined_corpus(spark: SparkSession, n: int = 1500) -> DataFrame:
     from sparklead import synth
     from sparklead.enhancers import eventlog as E
@@ -696,32 +762,44 @@ def _mined_corpus(spark: SparkSession, n: int = 1500) -> DataFrame:
     return E.words(E.normalize(load_hdfs_events(raw)), "e_message_normalized")
 
 
-def _q_ael_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparklead.mining import parse_ael
+def _q_drain_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase Drain mining on the synthetic corpus: template table."""
+    from sparklead.mining.drain import DrainMiner
 
-    _, templates = parse_ael(_mined_corpus(spark), column="e_message_normalized")
-    return templates
-
-
-def _q_brain_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparklead.mining import parse_brain
-
-    _, templates = parse_brain(_mined_corpus(spark), "e_words")
-    return templates
-
-
-def _q_spell_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparklead.mining import parse_spell
-
-    _, miner = parse_spell(_mined_corpus(spark), "e_words")
+    df = _mined_corpus(spark, 4000)
+    miner = DrainMiner().fit(df, "e_words")
     return miner.templates_df(spark).select("template_id", "template", "count")
 
 
-def _q_lenma_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparklead.mining import parse_lenma
+def _q_parser_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every template miner over ONE cached synthetic corpus, unioned with a
+    ``miner`` tag: Drain (two-phase redesign), IPLoM (with S3 bijection),
+    PL-IPLoM, AEL, Brain, Spell, LenMa. One gated frame covering the whole
+    §2.9 miner family; per-miner golden-template checks live in pytest."""
+    from sparklead.mining import parse_ael, parse_brain, parse_lenma, parse_spell
+    from sparklead.mining.drain import DrainMiner
+    from sparklead.mining.iplom import iplom_templates
+    from sparklead.mining.pl_iplom import pl_iplom_templates
 
-    _, miner = parse_lenma(_mined_corpus(spark), "e_words")
-    return miner.templates_df(spark).select("template_id", "template", "count")
+    df = _mined_corpus(spark).cache()
+    parts = []
+
+    def tag(name: str, frame: DataFrame) -> None:
+        parts.append(
+            frame.select(F.lit(name).alias("miner"), "template_id", "template")
+        )
+
+    tag("drain", DrainMiner().fit(df, "e_words").templates_df(spark))
+    tag("iplom", iplom_templates(df, "e_words"))
+    tag("pl_iplom", pl_iplom_templates(df, "e_words"))
+    tag("ael", parse_ael(df, column="e_message_normalized")[1])
+    tag("brain", parse_brain(df, "e_words")[1])
+    tag("spell", parse_spell(df, "e_words")[1].templates_df(spark))
+    tag("lenma", parse_lenma(df, "e_words")[1].templates_df(spark))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _q_ad_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,7 +877,7 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS end_time,
                    date_diff('second', min(ts), max(ts)) AS duration_sec,
                    round(avg(value), 6) AS avg_value,
-                   sum(CASE WHEN value > 1 THEN 1 ELSE 0 END) AS val_over1
+                   sum(CASE WHEN value > 1 THEN 1 ELSE 0 END)::bigint AS val_over1
             FROM events GROUP BY user_id ORDER BY seq_id
         """,
         "events_by_type": """
@@ -820,7 +898,6 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, chr(10) ORDER BY event_id) AS joined
             FROM events WHERE event_id < 200 GROUP BY user_id
         """,
-        "distinct_seq": "SELECT DISTINCT user_id AS seq_id FROM events",
         "broadcast_enrich": """
             SELECT n.n_name AS nation, count(*) AS n_cust, round(sum(c.c_acctbal), 4) AS sum_bal
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -863,18 +940,12 @@ def oracle_sql() -> dict[str, str]:
                      OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS cumu_items_an
             FROM events WHERE event_id < 1000
         """,
-        "first_occurrence": """
-            SELECT event_id, is_first FROM (
-              SELECT event_id,
-                     row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) = 1 AS is_first
-              FROM events
-            ) WHERE is_first
-        """,
-        "backward_fill": """
+        "window_fill_flags": """
             SELECT event_id,
                    round(first_value(CASE WHEN value >= 5 THEN value END IGNORE NULLS)
                      OVER (PARTITION BY user_id ORDER BY event_id
-                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS value_filled
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS value_filled,
+                   row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) = 1 AS is_first
             FROM events WHERE event_id < 2000
         """,
         "topk_per_group": """
@@ -893,35 +964,30 @@ def oracle_sql() -> dict[str, str]:
                    END AS rest
             FROM documents
         """,
-        "regex_extract_mask": """
+        "regex_json_extract": """
             SELECT event_id,
                    regexp_extract(props, '"k": (\\d+)', 1) AS k_str,
-                   regexp_replace(props, '\\d+', '<NUM>', 'g') AS props_masked
+                   regexp_replace(props, '\\d+', '<NUM>', 'g') AS props_masked,
+                   CAST(json_extract(props, '$.k') AS INT) AS k
             FROM events
-        """,
-        "json_decode": "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events",
-        "timestamp_bucket": """
-            SELECT date_trunc('hour', ts) AS hour_bucket, count(*) AS n FROM events GROUP BY 1
         """,
         "epoch_decode": """
             SELECT event_id,
                    epoch(date_trunc('second', ts))::bigint AS epoch_s,
-                   date_trunc('second', ts) AS ts_roundtrip
+                   date_trunc('second', ts) AS ts_roundtrip,
+                   date_trunc('hour', ts) AS hour_bucket
             FROM events WHERE event_id < 500
         """,
         "whitespace_squeeze": """
             SELECT doc_id, trim(regexp_replace('  ' || text || '  ', '\\s+', ' ', 'g')) AS squeezed
             FROM documents
         """,
-        "conditional_map": """
+        "conditional_median": """
             SELECT CASE WHEN event_type = 'error' THEN 'high'
                         WHEN value > 30 THEN 'medium' ELSE 'low' END AS severity,
-                   count(*) AS n
+                   count(*) AS n,
+                   round(median(value), 6) AS median_value
             FROM events GROUP BY 1
-        """,
-        "median_per_group": """
-            SELECT event_type, round(median(value), 6) AS median_value
-            FROM events GROUP BY event_type
         """,
         "bgl_load": """
             WITH raw(m_message) AS (VALUES
@@ -955,16 +1021,12 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(m_message, chr(10) ORDER BY line_nr) AS m_message
             FROM grouped GROUP BY file_name, entry_id
         """,
-        "words_stats": """
+        "doc_token_stats": """
             SELECT doc_id,
                    len(string_split(text, ' ')) AS e_words_len,
                    len(list_distinct(string_split(text, ' '))) AS n_distinct,
                    string_split(text, ' ')[1] AS first_word,
-                   string_split(text, ' ')[-1] AS last_word
-            FROM documents
-        """,
-        "trigram_count": """
-            SELECT doc_id,
+                   string_split(text, ' ')[-1] AS last_word,
                    len(list_distinct([substring(text, i, 3)
                                       FOR i IN range(1, greatest(len(text) - 1, 1))])) AS n_distinct_trigrams
             FROM documents
@@ -979,11 +1041,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200
             )
             SELECT doc_id,
-                   list_sort(list_distinct(w)) AS vocab,
-                   [len(list_filter(w, x -> x = d)) FOR d IN list_sort(list_distinct(w))] AS counts
+                   array_to_string(list_sort(list_distinct(w)), ' ') AS vocab,
+                   array_to_string(
+                     [len(list_filter(w, x -> x = d))::varchar
+                      FOR d IN list_sort(list_distinct(w))], ' ') AS counts
             FROM words
         """,
-        "rarity_score": """
+        "rarity_oov": """
             WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
                  test  AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
             freq AS (
@@ -997,31 +1061,25 @@ def oracle_sql() -> dict[str, str]:
               FROM freq, tot
             ),
             test_tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM test),
-            per_doc AS (
+            rarity AS (
               SELECT t.doc_id, sum(s.score) AS dot, count(DISTINCT t.token) AS nnz
               FROM test_tok t JOIN scored s USING (token)
               GROUP BY t.doc_id
-            )
-            SELECT d.doc_id,
-                   round(coalesce(p.dot / greatest(p.nnz, 1), 0.0), 6) AS rarity_score,
-                   CASE WHEN coalesce(p.dot / greatest(p.nnz, 1), 0.0) > 10 THEN 1 ELSE 0 END AS is_ano
-            FROM test d LEFT JOIN per_doc p USING (doc_id)
-        """,
-        "oov_score": """
-            WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-                 test  AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            ),
             vocab AS (
               SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM train
             ),
-            test_tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM test),
-            per_doc AS (
+            oov AS (
               SELECT t.doc_id, sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::bigint AS oov_score
               FROM test_tok t LEFT JOIN vocab v USING (token)
               GROUP BY t.doc_id
             )
-            SELECT d.doc_id, coalesce(p.oov_score, 0)::bigint AS oov_score,
-                   (CASE WHEN coalesce(p.oov_score, 0) > 1 THEN 1 ELSE 0 END)::int AS is_ano
-            FROM test d LEFT JOIN per_doc p USING (doc_id)
+            SELECT d.doc_id,
+                   round(coalesce(r.dot / greatest(r.nnz, 1), 0.0), 6) AS rarity_score,
+                   CASE WHEN coalesce(r.dot / greatest(r.nnz, 1), 0.0) > 10 THEN 1 ELSE 0 END AS rarity_ano,
+                   coalesce(o.oov_score, 0)::bigint AS oov_score,
+                   (CASE WHEN coalesce(o.oov_score, 0) > 1 THEN 1 ELSE 0 END)::int AS oov_ano
+            FROM test d LEFT JOIN rarity r USING (doc_id) LEFT JOIN oov o USING (doc_id)
         """,
         "nep_bigram": """
             SELECT prev, curr, count(*) AS n FROM (
@@ -1069,8 +1127,13 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY event_type
         """,
         "exact_dedup": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+            )
             SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
-            FROM documents GROUP BY md5(text)
+            FROM corpus GROUP BY md5(text)
         """,
         "minhash_signature": """
             WITH sh AS (
@@ -1085,11 +1148,16 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
         """,
         "ngram_jaccard_pairs": """
-            WITH sh AS (
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 40
+              UNION ALL
+              SELECT doc_id + 1000, text || ' nearly duplicated'
+              FROM documents WHERE doc_id < 40
+            ), sh AS (
               SELECT doc_id AS id,
                      list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
                                     FOR i IN range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]) AS sh
-              FROM documents WHERE doc_id < 40
+              FROM corpus
             )
             SELECT a.id AS a_id, b.id AS b_id,
                    round(len(list_intersect(a.sh, b.sh))
@@ -1120,13 +1188,6 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE pos < 4 GROUP BY label, pos
         """,
         "lang_quality": _LANG_QUALITY_SQL,
-        "doc_fingerprint": """
-            SELECT doc_id,
-                   md5(array_to_string(
-                     list_sort([md5(substring(text, i, 8))
-                                FOR i IN range(1, greatest(len(text) - 7, 1) + 1)])[1:4], '')) AS fingerprint
-            FROM documents
-        """,
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
@@ -1143,11 +1204,125 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
         """,
-        # drain_templates / pliplom_templates / ad_predictions /
-        # streaming_route / simhash_groups / pipeline_source_agg /
-        # multimodal_features: non-SQL-expressible (stateful mining, trained
-        # models, streaming runtime, 64-bit hash folds, synthetic generators,
-        # pandas-UDF plumbing) -> rows-only.
+        "adfa_load": r"""
+            WITH raw(m_message, file_path) AS (VALUES
+              ('6 6 63 6 42 120 6 195', 'ADFA-LD/Training_Data_Master/UTD-0001.txt'),
+              ('240 311 240 311', 'ADFA-LD/Attack_Data_Master/Adduser_2_1/UAD-Adduser-1-2262.txt'),
+              (' 6 174 174 6 ', 'ADFA-LD/Validation_Data_Master/UVD-0002.txt')
+            ), ev AS (
+              SELECT unnest(list_filter(string_split(trim(m_message), ' '), t -> t <> '')) AS syscall,
+                     regexp_replace(string_split(file_path, '/')[-1], '\.txt$', '') AS seq_id,
+                     CASE WHEN contains(file_path, 'Attack_Data_Master') THEN
+                       array_to_string(
+                         list_slice(string_split(string_split(file_path, '/')[-2], '_'), 1,
+                                    len(string_split(string_split(file_path, '/')[-2], '_')) - 1), '_')
+                     ELSE 'Normal' END AS label
+              FROM raw
+            )
+            SELECT seq_id, count(*) AS n_events,
+                   max(CASE WHEN label <> 'Normal' THEN 1 ELSE 0 END)::boolean AS anomaly,
+                   min(CASE WHEN label = 'Normal' THEN 1 ELSE 0 END)::boolean AS normal
+            FROM ev GROUP BY seq_id
+        """,
+        "awsctd_load": """
+            WITH raw(m_message, seq_id) AS (VALUES
+              ('240,311,240,240,311,Clean', 'CSV/Exploit1'),
+              ('120,6,120,Virus', 'CSV/Exploit2'),
+              ('6,Clean', 'CSV/Exploit3')
+            ), s AS (
+              SELECT seq_id, string_split(m_message, ',') AS parts,
+                     CASE WHEN string_split(m_message, ',')[-1] = 'Clean' THEN 'Normal'
+                          ELSE string_split(m_message, ',')[-1] END AS label
+              FROM raw
+            )
+            SELECT seq_id,
+                   CASE WHEN len(parts) > 1
+                        THEN array_to_string(list_slice(parts, 1, len(parts) - 1), ' ') END AS events_str,
+                   label,
+                   label = 'Normal' AS normal,
+                   label <> 'Normal' AS anomaly
+            FROM s
+        """,
+        "pro_load": r"""
+            WITH raw(m_message, seq_id) AS (VALUES
+              ('1  12.05.2016 09:00:01.116 sysA  4  2  INFO  core started ok', 'success_run1.log'),
+              ('2 12.05.2016 09:00:02.250 sysB 4 3 WARN buffer   low', 'fail_run2.log')
+            ), sp AS (
+              SELECT seq_id,
+                     string_split(trim(regexp_replace(m_message, '\s+', ' ', 'g')), ' ') AS p
+              FROM raw
+            )
+            SELECT seq_id,
+                   p[1] AS "count",
+                   p[4] AS "system",
+                   p[7] AS log_level,
+                   array_to_string(list_slice(p, 8, len(p)), ' ') AS m_message,
+                   try_strptime(p[2] || p[3], '%d.%m.%Y%H:%M:%S.%g') AS m_timestamp,
+                   starts_with(seq_id, 'success') AS normal
+            FROM sp
+        """,
+        "lo2_load": r"""
+            WITH raw(m_message, run, test_case, service) AS (VALUES
+              ('09:00:01.123 GET /token ok', 'run1', 'correct', 'oauth2-oauth2-token'),
+              ('09:00:02.456 POST /token created', 'run1', 'correct', 'oauth2-oauth2-token'),
+              ('09:01:02.456 GET /token denied', 'run1', 'key-error', 'oauth2-oauth2-token'),
+              ('no timestamp on this line', 'run1', 'correct', 'oauth2-oauth2-token')
+            ), ev AS (
+              SELECT m_message,
+                     try_strptime(regexp_extract(m_message, '^(\d{2}:\d{2}:\d{2}\.\d{3})', 1),
+                                  '%H:%M:%S.%g') AS m_timestamp,
+                     run || '__' || test_case || '__' || service AS seq_id,
+                     test_case = 'correct' AS normal
+              FROM raw
+              WHERE regexp_extract(m_message, '^(\d{2}:\d{2}:\d{2}\.\d{3})', 1) <> ''
+            )
+            SELECT seq_id,
+                   string_agg(m_message, chr(10) ORDER BY m_timestamp, m_message) AS m_message,
+                   max(normal::int)::boolean AS normal,
+                   (1 - max(normal::int))::boolean AS anomaly,
+                   strftime(min(m_timestamp), '%H:%M:%S.%g') AS start_hms,
+                   strftime(max(m_timestamp), '%H:%M:%S.%g') AS end_hms
+            FROM ev GROUP BY seq_id
+        """,
+        "auc_threshold": """
+            WITH s AS (
+              SELECT value AS score, (event_type = 'error')::int AS y FROM events
+            ), hist AS (
+              SELECT score, sum(y)::bigint AS pos, count(*)::bigint AS n
+              FROM s GROUP BY score
+            ), tot AS (SELECT sum(pos)::double AS n1, sum(n)::double AS nn FROM hist),
+            ranked AS (
+              SELECT pos,
+                     coalesce(sum(n) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + (n + 1) / 2.0 AS rank_avg
+              FROM hist
+            ), auc AS (
+              SELECT (sum(pos * rank_avg) - (SELECT n1 FROM tot) * ((SELECT n1 FROM tot) + 1) / 2.0)
+                     / ((SELECT n1 FROM tot) * ((SELECT nn FROM tot) - (SELECT n1 FROM tot))) AS auc
+              FROM ranked
+            ), sweep AS (
+              SELECT score AS best_thr,
+                     2.0 * (sum(pos) OVER (ORDER BY score DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                     / ((sum(n) OVER (ORDER BY score DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                        + (SELECT n1 FROM tot)) AS best_f1
+              FROM hist
+            ), best AS (
+              SELECT best_thr, best_f1 FROM sweep
+              ORDER BY best_f1 DESC, best_thr ASC LIMIT 1
+            )
+            SELECT round((SELECT auc FROM auc), 6) AS auc,
+                   round(best_thr, 6) AS best_thr,
+                   round(best_f1, 6) AS best_f1
+            FROM best
+        """,
+        # parser_templates / ad_predictions / streaming_route /
+        # simhash_groups / pipeline_source_agg / multimodal_features /
+        # ivf_topk: non-SQL-expressible (stateful mining, trained models,
+        # streaming runtime, 64-bit hash folds, synthetic generators,
+        # pandas-UDF plumbing, KMeans centroids) -> rows-only.
     }
 
 
@@ -1185,6 +1360,9 @@ SELECT doc_id, n_ws_tokens, n_bpe_tokens,
   round(((CASE WHEN len(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.25 END)
        + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END)
        + (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
-       + (CASE WHEN sw_en >= 0.05 THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS quality
+       + (CASE WHEN sw_en >= 0.05 THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS quality,
+  md5(array_to_string(
+    list_sort([md5(substring(text, i, 8))
+               FOR i IN range(1, greatest(len(text) - 7, 1) + 1)])[1:4], '')) AS fingerprint
 FROM scored
 """

@@ -79,13 +79,29 @@ def minhash_candidates(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
-    """LSH candidate pairs (a_id < b_id) with their band collision count."""
+    """LSH candidate pairs (a_id < b_id) with their band collision count.
+
+    ``max_bucket`` caps the per-bucket self-join: a degenerate bucket (mass-
+    duplicated boilerplate that exact-dedup should have removed first) would
+    otherwise go O(m^2). Oversized buckets are DROPPED — at that collision
+    mass every member pairs with thousands of near-identical peers and the
+    exact-dedup / simhash-group paths are the right tool, not pairwise LSH.
+    """
     rows = num_hashes // bands
     sig = df.select(
         F.col(key_col).alias("id"),
         F.explode(minhash_bands(minhash_signature(word_shingles(text_col, shingle_n), num_hashes), bands, rows)).alias("band"),
     )
+    if max_bucket:
+        ok = (
+            sig.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .select("band")
+        )
+        sig = sig.join(ok, "band", "left_semi")
     a = sig.alias("a")
     b = sig.alias("b")
     return (

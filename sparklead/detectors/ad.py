@@ -172,9 +172,67 @@ class AnomalyDetector:
         )
 
 
-def evaluate(pred_df: DataFrame, label_col: str = "label", pred_col: str = "pred_ano") -> dict:
-    """Relational confusion matrix + accuracy / precision / recall / F1
-    (anomaly_detection.py:426-530)."""
+def _score_hist(scores: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """(score, pos, n) per distinct score — the sufficient statistic for both
+    ROC-AUC and the threshold sweep. One hash agg; every window below runs
+    over score-CARDINALITY rows, never data-sized rows."""
+    return scores.groupBy(F.col(score_col).alias("score")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("pos"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def roc_auc(scores: DataFrame, label_col: str = "label", score_col: str = "score") -> DataFrame:
+    """ROC-AUC, fully relational (no collect): Mann-Whitney U with average
+    ranks over the per-score histogram. The reference reports AUC via
+    sklearn roc_auc_score (anomaly_detection.py:426-530); rank-sum over
+    grouped scores is the same statistic without materializing per-row ranks.
+
+    Returns a 1-row frame (auc double)."""
+    from pyspark.sql import Window
+
+    hist = _score_hist(scores, label_col, score_col)
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.withColumn(
+        "rank_avg", F.coalesce(F.sum("n").over(w), F.lit(0)) + (F.col("n") + 1) / 2.0
+    )
+    return ranked.agg(
+        (
+            (F.sum(F.col("pos") * F.col("rank_avg")) - F.sum("pos") * (F.sum("pos") + 1) / 2.0)
+            / (F.sum("pos") * (F.sum("n") - F.sum("pos")))
+        ).alias("auc")
+    )
+
+
+def threshold_search(scores: DataFrame, label_col: str = "label", score_col: str = "score") -> DataFrame:
+    """Best decision threshold by F1 over every distinct score — the
+    relational analogue of the reference's optional threshold optimization
+    (anomaly_detection.py:426-530). Predict positive when score >= t;
+    f1(t) = 2*tp / (predicted_pos + total_pos). Deterministic tie-break:
+    highest f1, then lowest threshold.
+
+    Returns a 1-row frame (best_thr, best_f1)."""
+    from pyspark.sql import Window
+
+    hist = _score_hist(scores, label_col, score_col)
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    total_pos = hist.agg(F.sum("pos")).first()[0] or 0
+    swept = hist.select(
+        F.col("score").alias("best_thr"),
+        (
+            2.0 * F.sum("pos").over(w) / (F.sum("n").over(w) + F.lit(float(total_pos)))
+        ).alias("best_f1"),
+    )
+    return swept.orderBy(F.col("best_f1").desc(), F.col("best_thr").asc()).limit(1)
+
+
+def evaluate(
+    pred_df: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred_ano",
+    score_col: str | None = None,
+) -> dict:
+    """Relational confusion matrix + accuracy / precision / recall / F1;
+    with ``score_col`` set, also ROC-AUC (anomaly_detection.py:426-530)."""
     c = {
         (int(r[label_col]), int(r[pred_col])): r["n"]
         for r in pred_df.groupBy(label_col, pred_col).agg(F.count(F.lit(1)).alias("n")).collect()
@@ -183,13 +241,16 @@ def evaluate(pred_df: DataFrame, label_col: str = "label", pred_col: str = "pred
     total = tp + fp + fn + tn
     prec = tp / (tp + fp) if tp + fp else 0.0
     rec = tp / (tp + fn) if tp + fn else 0.0
-    return {
+    out = {
         "tp": tp, "fp": fp, "fn": fn, "tn": tn,
         "accuracy": (tp + tn) / total if total else 0.0,
         "precision": prec,
         "recall": rec,
         "f1": 2 * prec * rec / (prec + rec) if prec + rec else 0.0,
     }
+    if score_col is not None:
+        out["auc"] = roc_auc(pred_df, label_col, score_col).first()["auc"]
+    return out
 
 
 def evaluate_all(

@@ -14,6 +14,7 @@ TF call and nothing else changes.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -40,7 +41,11 @@ class _StubEncoder:
             if t is None or (isinstance(t, float) and pd.isna(t)):
                 out.append(None)  # null message -> null embedding
                 continue
-            rng = np.random.default_rng(abs(hash(t)) % (2**32))
+            # seed from md5, NOT Python hash(): str hashing is
+            # PYTHONHASHSEED-salted, so hash(t) is only stable within one
+            # process — md5 makes the fake deterministic across executors/runs
+            seed = int.from_bytes(hashlib.md5(str(t).encode()).digest()[:4], "little")
+            rng = np.random.default_rng(seed)
             v = rng.standard_normal(self.dim).astype(np.float32)
             out.append((v / np.linalg.norm(v)).tolist())
         return out

@@ -43,9 +43,11 @@ def parse_brain(
 
     # per-row frequency vector via broadcast join of the (small) freq table,
     # then root = md5 over the (pos:token) pairs at the row's max frequency.
-    # _rid is derived ONCE (ided) — a second monotonically_increasing_id()
-    # call would re-number under a different plan.
-    ided = base.withColumn("_rid", F.monotonically_increasing_id())
+    # _rid is derived ONCE and the frame is CACHED: ided feeds two join
+    # branches (roots and keyed), and an uncached monotonically_increasing_id
+    # could re-number rows differently per branch under a nondeterministic
+    # upstream shuffle — same reason parse_pl_iplom caches its keyed frame.
+    ided = base.withColumn("_rid", F.monotonically_increasing_id()).cache()
     with_freq = (
         ided.select("_rid", "_len", F.posexplode(tokens_col).alias("pos", "tok"))
         .join(broadcast(freqs), ["_len", "pos", "tok"], "left")

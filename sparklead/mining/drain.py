@@ -9,9 +9,11 @@ That design cannot distribute, so this is a redesign (SURVEY.md §2.9):
       template set with the same core Drain idea — bucket by token count,
       greedy similarity clustering (token-position agreement >= sim_th,
       disagreeing positions wildcarded to '<*>').
-  Phase 2 (driver): the per-partition template sets are tiny (bounded by
-      max_clusters per partition); merge them with the same rule after a
-      deterministic sort, producing the final template table.
+  Phase 2 (tree merge): the per-partition template sets (bounded by
+      max_clusters each) first fold through ONE distributed mapInPandas
+      merge round (fanout 32) so the driver collects O(max_clusters x
+      P/32) rows instead of O(max_clusters x P); the final fold runs the
+      same rule after a deterministic sort, producing the template table.
   Phase 3 (distributed, broadcast): the final table is broadcast and each
       event is assigned its best-matching template via an Arrow-batched
       pandas UDF — a map-side lookup, zero shuffle.
@@ -89,8 +91,12 @@ class _LocalDrain:
             if best is not None:
                 best[1] += count
             else:
+                # no candidate at all (first line of a new token-length while
+                # at cap): the insert must still COUNT against max_clusters,
+                # or high-cardinality corpora grow unboundedly past the cap
                 entry = [list(tokens), count]
                 self._insert(entry)
+                self.n_clusters += 1
 
     def _insert(self, entry: list) -> None:
         tokens = entry[0]
@@ -124,7 +130,13 @@ class DrainMiner:
         self.templates: list[tuple[list[str], int]] = []
 
     # ------------------------------------------------------------- phase 1+2
-    def fit(self, df: DataFrame, tokens_col: str = "e_words") -> "DrainMiner":
+    def _partials(self, df: DataFrame, tokens_col: str, merge_fanout: int = 32) -> DataFrame:
+        """Per-partition template sets, TREE-MERGED before the driver sees
+        them: with P input partitions a direct collect is O(max_clusters x P)
+        driver rows — at 100 TB (10^5-10^6 partitions) a multi-hundred-
+        million-row collect. One intermediate distributed merge round
+        (repartition to ceil(P/fanout), fold with the same local algorithm)
+        caps driver intake at O(max_clusters x P/fanout)."""
         sim_th, max_clusters = self.sim_th, self.max_clusters
 
         def mine_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -137,12 +149,31 @@ class DrainMiner:
                 {"template": [t for t, _ in tpls], "count": [c for _, c in tpls]}
             )
 
-        partial = (
-            df.select(F.col(tokens_col).alias("t"))
-            .mapInPandas(mine_partition, "template array<string>, count long")
-            .collect()
-        )
-        # phase 2: deterministic driver merge (sorted input -> stable result)
+        def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            rows = []
+            for pdf in batches:
+                rows.extend((list(t), int(c)) for t, c in zip(pdf["template"], pdf["count"]))
+            rows.sort(key=lambda r: (len(r[0]), " ".join(r[0]), -r[1]))
+            local = _LocalDrain(sim_th, max_clusters)
+            for t, c in rows:
+                local.add(t, c)
+            tpls = local.templates()
+            yield pd.DataFrame(
+                {"template": [t for t, _ in tpls], "count": [c for _, c in tpls]}
+            )
+
+        schema = "template array<string>, count long"
+        partials = df.select(F.col(tokens_col).alias("t")).mapInPandas(mine_partition, schema)
+        n_parts = df.rdd.getNumPartitions()
+        if n_parts > merge_fanout:
+            partials = partials.repartition(max(1, n_parts // merge_fanout)).mapInPandas(
+                merge_partition, schema
+            )
+        return partials
+
+    def fit(self, df: DataFrame, tokens_col: str = "e_words", merge_fanout: int = 32) -> "DrainMiner":
+        partial = self._partials(df, tokens_col, merge_fanout).collect()
+        # final phase 2: deterministic driver merge (sorted input -> stable result)
         rows = sorted(partial, key=lambda r: (len(r["template"]), " ".join(r["template"]), -r["count"]))
         merger = _LocalDrain(self.sim_th, self.max_clusters)
         for r in rows:

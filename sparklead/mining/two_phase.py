@@ -36,7 +36,10 @@ class TwoPhaseMiner:
         self._factory = clusterer_factory
         self.templates: list[tuple[list[str], int]] = []
 
-    def fit(self, df: DataFrame, tokens_col: str = "e_words") -> "TwoPhaseMiner":
+    def _partials(self, df: DataFrame, tokens_col: str, merge_fanout: int = 32) -> DataFrame:
+        """Per-partition template sets with an intermediate distributed merge
+        round (same tree-merge rationale as DrainMiner._partials: cap driver
+        intake at O(templates x partitions/fanout), not O(x partitions))."""
         factory = self._factory
 
         def mine_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -47,11 +50,28 @@ class TwoPhaseMiner:
             tpls = local.templates()
             yield pd.DataFrame({"template": [t for t, _ in tpls], "count": [c for _, c in tpls]})
 
-        partial = (
-            df.select(F.col(tokens_col).alias("t"))
-            .mapInPandas(mine_partition, "template array<string>, count long")
-            .collect()
-        )
+        def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            rows = []
+            for pdf in batches:
+                rows.extend((list(t), int(c)) for t, c in zip(pdf["template"], pdf["count"]))
+            rows.sort(key=lambda r: (len(r[0]), " ".join(r[0]), -r[1]))
+            local = factory()
+            for t, c in rows:
+                local.add(t, c)
+            tpls = local.templates()
+            yield pd.DataFrame({"template": [t for t, _ in tpls], "count": [c for _, c in tpls]})
+
+        schema = "template array<string>, count long"
+        partials = df.select(F.col(tokens_col).alias("t")).mapInPandas(mine_partition, schema)
+        n_parts = df.rdd.getNumPartitions()
+        if n_parts > merge_fanout:
+            partials = partials.repartition(max(1, n_parts // merge_fanout)).mapInPandas(
+                merge_partition, schema
+            )
+        return partials
+
+    def fit(self, df: DataFrame, tokens_col: str = "e_words", merge_fanout: int = 32) -> "TwoPhaseMiner":
+        partial = self._partials(df, tokens_col, merge_fanout).collect()
         rows = sorted(partial, key=lambda r: (len(r["template"]), " ".join(r["template"]), -r["count"]))
         merger = self._factory()
         for r in rows:

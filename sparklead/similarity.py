@@ -125,23 +125,27 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 2,
     seed: int = 42,
+    fit_sample: int = 100_000,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus with KMeans
     centroids, probe the ``n_probe`` nearest cells per query, exact-rank
     inside the probed cells.
 
-    Scale path: the corpus is scanned once to assign cells (broadcast
-    centroid table, narrow); the search join is an equi-join on cell id, so
-    candidate volume is corpus/n_centroids * n_probe per query instead of
-    the full corpus. Centroids come from pyspark.ml KMeans on (a sample of)
-    the corpus — at 100 TB fit on a sample, assign in one pass.
+    Scale path: KMeans FITS ON A SAMPLE capped at ``fit_sample`` rows (an
+    iterative algorithm must never full-scan a 100 TB corpus per iteration);
+    the full corpus is scanned exactly once, by the single cell-assignment
+    transform. The search join is an equi-join on cell id, so candidate
+    volume is corpus/n_centroids * n_probe per query instead of the full
+    corpus.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     vecs = corpus.select(F.col(key_col), array_to_vector(F.col(emb_col).cast("array<double>")).alias("_v"))
+    n = corpus.count()
+    fit_vecs = vecs.sample(fraction=min(1.0, fit_sample / max(n, 1)), seed=seed) if n > fit_sample else vecs
     km = KMeans(k=n_centroids, seed=seed, featuresCol="_v", predictionCol="cell")
-    model = km.fit(vecs)
+    model = km.fit(fit_vecs)
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     cent_df = queries.sparkSession.createDataFrame(centroids, "cell int, centroid array<double>")
 

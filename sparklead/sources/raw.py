@@ -18,14 +18,33 @@ from pyspark.sql import functions as F
 DEFAULT_TS_LINE_PATTERN = r"^\d{4}-\d{2}-\d{2}"
 
 
-def load_text(spark: SparkSession, path: str, strip_prefix: str | None = None) -> DataFrame:
+def load_text(
+    spark: SparkSession, path: str, strip_prefix: str | None = None, min_file_size: int = 0
+) -> DataFrame:
     """Read raw lines: columns (m_message, file_name, line_nr).
 
     ``line_nr`` is monotonically increasing within each file split — the
     explicit order key every downstream order-dependent op requires
     (SURVEY.md §4.2 #5). Mirrors loaders/raw.py:56-86.
+
+    ``min_file_size`` drops under-sized files before the scan — a driver-side
+    listing filter over the glob, exactly the reference's
+    ``os.path.getsize(file) > 0`` guard (loaders/raw.py:62, pro.py:16).
     """
-    df = spark.read.text(path).withColumnRenamed("value", "m_message")
+    if min_file_size > 0:
+        import glob as _glob
+        import os as _os
+
+        files = [
+            f
+            for f in sorted(_glob.glob(path, recursive=True))
+            if _os.path.isfile(f) and _os.path.getsize(f) >= min_file_size
+        ]
+        if not files:
+            return spark.createDataFrame([], "m_message string, file_name string, line_nr long")
+        df = spark.read.text(files).withColumnRenamed("value", "m_message")
+    else:
+        df = spark.read.text(path).withColumnRenamed("value", "m_message")
     fname = F.input_file_name()
     if strip_prefix:
         fname = F.regexp_replace(fname, "^" + strip_prefix, "")

@@ -51,7 +51,24 @@ def stream_route(
     enriched_stream = enrich_stage(parse_stage(stream), source_meta)
     manifest_path = os.path.join(out_dir, "stream_manifest.jsonl")
 
+    def _committed_batches() -> set:
+        done = set()
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                for line in f:
+                    e = json.loads(line)
+                    if e.get("committed"):
+                        done.add(e["batch_id"])
+        return done
+
     def route_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # IDEMPOTENT per-batch write: after a mid-batch failure, checkpoint
+        # recovery REPLAYS the batch — a plain mode('append') would land its
+        # rows twice. Two guards: (1) a replayed already-committed batch is
+        # skipped via the manifest; (2) a replayed half-written batch
+        # OVERWRITES its own batch_id=N subdirectory instead of appending.
+        if batch_id in _committed_batches():
+            return
         batch_df = batch_df.persist()
         entries = []
         for name, frame in {
@@ -61,10 +78,13 @@ def stream_route(
             "template_counts": template_counts(batch_df),
             "source_agg": source_agg(batch_df),
         }.items():
-            path = os.path.join(out_dir, name)
-            frame.write.mode("append").parquet(path)
+            path = os.path.join(out_dir, name, f"batch_id={batch_id}")
+            frame.write.mode("overwrite").parquet(path)
             entries.append({"batch_id": batch_id, "sink": name})
         entries.insert(0, {"batch_id": batch_id, "rows": batch_df.count()})
+        # the committed marker is the LAST record: its presence implies every
+        # sink dir for this batch is complete
+        entries.append({"batch_id": batch_id, "committed": True})
         with open(manifest_path, "a") as f:
             for e in entries:
                 f.write(json.dumps(e) + "\n")

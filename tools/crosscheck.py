@@ -20,18 +20,22 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    """Dtype-FAITHFUL cell canonicalization: ints and floats normalize to
+    DIFFERENT strings ('i:25' vs 'f:25'), exactly like the driver gate's
+    type-sensitive hash — a DuckDB HUGEINT fetched as float64 must FAIL
+    against a Spark bigint here, not pass (round-1 seq_aggregates lesson)."""
     import datetime
     import numpy as np
 
     if v is None or (isinstance(v, float) and pd.isna(v)):
         return "NULL"
-    if isinstance(v, (np.floating, float)):
-        f = float(v)
-        return "0" if f == 0 else f"{f:.10g}"
-    if isinstance(v, (np.integer, int)):
-        return str(int(v))
     if isinstance(v, (np.bool_, bool)):
         return str(bool(v))
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return "f:0" if f == 0 else f"f:{f:.10g}"
+    if isinstance(v, (np.integer, int)):
+        return f"i:{int(v)}"
     if isinstance(v, (datetime.datetime, pd.Timestamp)):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, datetime.date):
