@@ -537,7 +537,9 @@ def _q_rarity_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = oov_score(test, train, key_col="doc_id", tokens_col="e_words").select(
         "doc_id", "oov_score", F.col("is_ano").alias("oov_ano")
     )
-    return r.join(o, "doc_id")
+    # both sides are test-doc-sized aggregates; broadcast beats the static
+    # planner's sort-merge guess (post-agg sizes are unknown to Catalyst)
+    return r.join(broadcast(o), "doc_id")
 
 
 def _q_nep_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:

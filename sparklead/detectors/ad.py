@@ -215,11 +215,15 @@ def threshold_search(scores: DataFrame, label_col: str = "label", score_col: str
 
     hist = _score_hist(scores, label_col, score_col)
     w = Window.orderBy(F.col("score").desc()).rowsBetween(Window.unboundedPreceding, 0)
-    total_pos = hist.agg(F.sum("pos")).first()[0] or 0
+    # total positives via an unbounded window over the SAME (small,
+    # score-cardinality-sized) frame — no separate driver action/job
+    w_all = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     swept = hist.select(
         F.col("score").alias("best_thr"),
         (
-            2.0 * F.sum("pos").over(w) / (F.sum("n").over(w) + F.lit(float(total_pos)))
+            2.0 * F.sum("pos").over(w) / (F.sum("n").over(w) + F.sum("pos").over(w_all))
         ).alias("best_f1"),
     )
     return swept.orderBy(F.col("best_f1").desc(), F.col("best_thr").asc()).limit(1)

@@ -52,8 +52,12 @@ def adfa_sequences(events: DataFrame) -> DataFrame:
 
 
 def load_adfa(spark: SparkSession, path: str) -> DataFrame:
+    # recursiveFileLookup: the dataset nests attack runs one level deeper
+    # than training/validation (adfa.py:30's os.walk)
     df = (
-        spark.read.text(f"{path}/**/*.txt")
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.txt")
+        .text(path)
         .withColumnRenamed("value", "m_message")
         .withColumn("file_path", F.input_file_name())
         .filter(~F.col("file_path").contains("ADFA-LD+Syscall+List.txt"))
@@ -93,7 +97,9 @@ def awsctd_events(seqs: DataFrame) -> DataFrame:
 
 def load_awsctd(spark: SparkSession, path: str) -> DataFrame:
     df = (
-        spark.read.text(f"{path}/**/*.csv")
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.csv")
+        .text(path)
         .withColumnRenamed("value", "m_message")
         .withColumn(
             "seq_id",

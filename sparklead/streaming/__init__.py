@@ -1,3 +1,7 @@
-from sparklead.streaming.pipeline import stream_route, stream_window_counts
+from sparklead.streaming.pipeline import (
+    stream_route,
+    stream_running_source_stats,
+    stream_window_counts,
+)
 
-__all__ = ["stream_route", "stream_window_counts"]
+__all__ = ["stream_route", "stream_running_source_stats", "stream_window_counts"]

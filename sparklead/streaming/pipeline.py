@@ -100,6 +100,49 @@ def stream_route(
     return writer.start()
 
 
+def stream_running_source_stats(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "running_source_stats",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Custom STATEFUL operator: running per-source totals across
+    micro-batches via ``applyInPandasWithState`` — the arbitrary-state API
+    the built-in windowed aggregates can't express (running totals without
+    event-time windows; the batch reference has no streaming analogue at
+    all, SURVEY.md §2.11). State per source = (n_seqs, sum_tok); each batch
+    emits the updated running row. Writes to an in-memory sink named
+    ``query_name`` (update mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reader = spark.readStream.schema(PRETOK_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, tok = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tok += int(pdf["n_tok"].sum())
+        state.update((n, tok))
+        yield pd.DataFrame({"source": [key[0]], "n_seqs": [n], "sum_tok": [tok]})
+
+    out = stream.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType="source string, n_seqs long, sum_tok long",
+        stateStructType="n_seqs long, sum_tok long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = out.writeStream.format("memory").queryName(query_name).outputMode("update")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_window_counts(
     spark: SparkSession,
     input_dir: str,

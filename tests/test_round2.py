@@ -266,6 +266,92 @@ def test_stream_replay_is_idempotent(spark, tmp_path):
     assert sum(1 for m in manifest if m.get("committed")) == 1  # replay skipped
 
 
+def test_stream_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState running totals: state accumulates ACROSS
+    micro-batches (maxFilesPerTrigger=1 forces one batch per file) and the
+    final update per source equals the batch-side totals."""
+    from sparklead.streaming import stream_running_source_stats
+
+    inp = str(tmp_path / "in")
+    pt = synth.pretokenized(spark, 600)
+    pt.filter(F.col("doc_id") < "doc_000000300").coalesce(1).write.mode("append").parquet(inp)
+    pt.filter(F.col("doc_id") >= "doc_000000300").coalesce(1).write.mode("append").parquet(inp)
+    q = stream_running_source_stats(
+        spark, inp, query_name="rss_test", max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    # memory sink holds every update; the MAX per source is the final state
+    final = {
+        r["source"]: (r["n_seqs"], r["sum_tok"])
+        for r in spark.sql(
+            "SELECT source, max(n_seqs) AS n_seqs, max(sum_tok) AS sum_tok FROM rss_test GROUP BY source"
+        ).collect()
+    }
+    expected = {
+        r["source"]: (r["n"], r["tok"])
+        for r in pt.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("tok")
+        ).collect()
+    }
+    assert final == expected
+    # statefulness: at least one source must have been updated in two batches
+    n_updates = spark.sql("SELECT count(*) AS c FROM rss_test").first()["c"]
+    assert n_updates > len(expected)
+
+
+# ------------------------------------------------------------------ path-reading loaders
+
+def test_load_adfa_from_files(spark, tmp_path):
+    from sparklead.sources.datasets import adfa_sequences, load_adfa
+
+    root = tmp_path / "ADFA-LD"
+    (root / "Training_Data_Master").mkdir(parents=True)
+    (root / "Attack_Data_Master" / "Adduser_1_2").mkdir(parents=True)
+    (root / "Training_Data_Master" / "UTD-0001.txt").write_text("6 6 63 6\n42 120\n")
+    (root / "Attack_Data_Master" / "Adduser_1_2" / "UAD-1.txt").write_text("240 311\n")
+    seq = {r["seq_id"]: r for r in adfa_sequences(load_adfa(spark, str(root))).collect()}
+    assert seq["UTD-0001"]["n_events"] == 6 and seq["UTD-0001"]["normal"]
+    assert seq["UAD-1"]["n_events"] == 2 and seq["UAD-1"]["anomaly"]
+
+
+def test_load_awsctd_from_files(spark, tmp_path):
+    from sparklead.sources.datasets import load_awsctd
+
+    d = tmp_path / "CSV" / "DDoS"
+    d.mkdir(parents=True)
+    (d / "run1.csv").write_text("240,311,Virus\n6,6,Clean\n")
+    s = load_awsctd(spark, str(tmp_path / "CSV")).collect()
+    by_label = {r["label"]: r for r in s}
+    assert by_label["Virus"]["seq_id"] == "DDoS/run1"
+    assert by_label["Virus"]["events"] == ["240", "311"]
+    assert by_label["Normal"]["events"] == ["6", "6"]
+
+
+def test_load_lo2_from_files(spark, tmp_path):
+    from sparklead.sources.datasets import load_lo2, lo2_sequences
+
+    d = tmp_path / "run1" / "correct"
+    d.mkdir(parents=True)
+    (d / "oauth2-oauth2-token.log").write_text("10:00:00.001 ok\n\n10:00:01.002 fine\n")
+    e = tmp_path / "run1" / "key-error"
+    e.mkdir(parents=True)
+    (e / "oauth2-oauth2-token.log").write_text("10:00:02.003 boom\n")
+    seqs = {r["seq_id"]: r for r in lo2_sequences(load_lo2(spark, str(tmp_path))).collect()}
+    assert seqs["run1__correct__oauth2-oauth2-token"]["normal"]
+    assert seqs["run1__key-error__oauth2-oauth2-token"]["anomaly"]
+    assert seqs["run1__correct__oauth2-oauth2-token"]["m_message"].count("\n") == 1
+
+
+def test_load_pro_from_files(spark, tmp_path):
+    from sparklead.sources.datasets import load_pro
+
+    (tmp_path / "success_a.log").write_text("1 01.02.2021 10:00:00.100 s 1 2 INFO up\n")
+    (tmp_path / "empty.log").write_text("")
+    out = load_pro(spark, str(tmp_path / "*.log")).collect()
+    assert len(out) == 1  # empty file filtered by min_file_size (pro.py:16)
+    assert out[0]["normal"] and out[0]["log_level"] == "INFO"
+
+
 # ------------------------------------------------------------------ IVF sample fit
 
 def test_ivf_sample_fit_keeps_recall(spark, sf_dir):
