@@ -11,11 +11,15 @@ op (SURVEY.md §2.9: 'frequency vectors = posexplode + groupBy count — fully
 vectorizable'):
 
   1. (pos, token) frequency per length-group: posexplode + ONE hash agg.
-  2. per-row root signature: join frequencies back (broadcast — the
-     frequency table is vocabulary-sized), keep tokens whose frequency
-     equals the row's max frequency; root = hash of those (pos, token)s.
-  3. template per (length, root) cluster: position-wise
-     countDistinct==1 ? first : '<*>' — same aggregate as PL-IPLoM.
+  2. per-row root: Brain's "longest common pattern" = the MOST COMMON
+     frequency value among the row's token frequencies (Brain.py:126-139
+     Counter.most_common + find_root with threshold_per=0 — NOT the max
+     frequency: the max picks cross-template boilerplate words and merges
+     templates that share them, measured against the reference). Cluster
+     key = (length, root_freq, root_count), ties by first position, the
+     reference's stable-sort order.
+  3. template per cluster: position-wise countDistinct==1 ? first : '<*>'
+     — same aggregate as PL-IPLoM.
 
 Divergence from the reference: Brain's child-split recursion (its step 3+)
 refines clusters further down the frequency ladder; on machine logs the
@@ -52,22 +56,14 @@ def parse_brain(
         ided.select("_rid", "_len", F.posexplode(tokens_col).alias("pos", "tok"))
         .join(broadcast(freqs), ["_len", "pos", "tok"], "left")
     )
-    row_max = with_freq.groupBy("_rid").agg(F.max("freq").alias("_fmax"))
-    roots = (
-        with_freq.join(row_max, "_rid")
-        .filter(F.col("freq") == F.col("_fmax"))
-        .groupBy("_rid", "_len")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                        lambda s: F.concat_ws(":", s["pos"].cast("string"), s["tok"]),
-                    ),
-                )
-            ).alias("_root")
-        )
+    per_freq = with_freq.groupBy("_rid", "_len", "freq").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min("pos").alias("_first_pos")
+    )
+    roots = per_freq.groupBy("_rid", "_len").agg(
+        F.max_by(
+            F.concat_ws("#", F.col("freq").cast("string"), F.col("_cnt").cast("string")),
+            F.struct(F.col("_cnt"), (-F.col("_first_pos")).alias("_np")),
+        ).alias("_root")
     )
     keyed = ided.join(roots.select("_rid", "_root"), "_rid").withColumn(
         "_cluster", F.concat_ws("#", F.col("_len").cast("string"), F.col("_root"))

@@ -81,14 +81,15 @@ def token_vectors(df: DataFrame) -> DataFrame:
     count fold + O(64L) simhash) but zero shuffle; this is the sink a
     CountVectorizer-based detector consumes.
     """
-    from sparklead.dedup import simhash64
+    from sparklead.dedup import with_simhash
 
     # O(L) sparse counting: sort once, find run starts, run lengths = counts.
     # CRITICAL: the sorted array and run starts are materialized as columns —
     # Catalyst does NOT common-subexpression-eliminate inside HOF lambdas, so
     # referencing array_sort(tokens) from a lambda re-sorts per element
-    # (measured 100x slowdown).
-    staged = (
+    # (measured 100x slowdown). SimHash goes through with_simhash (hash-once
+    # column + 64 shift-add folds — 4x the per-token when-array fold).
+    staged = with_simhash(
         df.withColumn("_s", F.array_sort("tokens"))
         .withColumn(
             "_starts",
@@ -96,7 +97,8 @@ def token_vectors(df: DataFrame) -> DataFrame:
                 F.sequence(F.lit(1), F.size("_s")),
                 lambda i: (i == 1) | (F.element_at(F.col("_s"), i) != F.element_at(F.col("_s"), i - 1)),
             ),
-        )
+        ),
+        "tokens",
     )
     next_starts = F.concat(F.slice("_starts", 2, 1 << 30), F.array(F.size("_s") + 1))
     return staged.select(
@@ -104,7 +106,7 @@ def token_vectors(df: DataFrame) -> DataFrame:
         "source",
         F.transform("_starts", lambda i: F.element_at(F.col("_s"), i)).alias("vocab"),
         F.zip_with(next_starts, F.col("_starts"), lambda b, a: b - a).alias("counts"),
-        simhash64(F.col("tokens")).alias("simhash"),
+        "simhash",
     )
 
 
@@ -118,6 +120,19 @@ def vocabulary(df: DataFrame) -> DataFrame:
         df.select("doc_id", F.explode("tokens").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"), F.approx_count_distinct("doc_id").alias("n_docs"))
+    )
+
+
+def vocabulary_from_vectors(tv: DataFrame) -> DataFrame:
+    """Corpus vocabulary derived from the routed token_vectors sink instead
+    of re-scanning the raw input: each doc's (vocab, counts) is ALREADY
+    per-doc-distinct, so doc frequency is an exact count(*) (no HLL sketch)
+    and the explode is O(distinct-per-doc), not O(tokens). At 100 TB this
+    removes one full input scan and shrinks the pre-shuffle volume — the
+    staged-lineage payoff (rollups derive from routed sinks)."""
+    z = tv.select(F.explode(F.arrays_zip("vocab", "counts")).alias("z"))
+    return z.groupBy(F.col("z.vocab").alias("token")).agg(
+        F.sum("z.counts").alias("freq"), F.count(F.lit(1)).alias("n_docs")
     )
 
 
@@ -161,31 +176,34 @@ def run_pipeline(
     primary = {"seq_features": lambda: seq_features(enriched)}
     if detector_sinks:
         primary["token_vectors"] = lambda: token_vectors(enriched)
-        primary["vocabulary"] = lambda: vocabulary(enriched)
     out: dict = {"sinks": {}}
     if out_dir is None:
         out["sinks"] = {k: v() for k, v in primary.items()} | {
             "template_counts": template_counts(enriched),
             "source_agg": source_agg(enriched),
         }
+        if detector_sinks:
+            out["sinks"]["vocabulary"] = vocabulary(enriched)
     else:
         # Staged materialization: the raw input (with its wide token arrays)
-        # is scanned once per detector sink, then the cheap rollups read the
-        # routed feature table (narrow, token-free) — the right lineage at
-        # 100 TB: rollups derive from routed features, not re-parsed tokens.
+        # is scanned once per detector sink, then every downstream sink reads
+        # a routed table — the right lineage at 100 TB: rollups derive from
+        # seq_features (narrow, token-free), the vocabulary derives from
+        # token_vectors (per-doc-distinct already computed), and the raw
+        # input is scanned exactly twice instead of three times.
         import os
 
         spark = df.sparkSession
         m1 = routing.route(primary, out_dir, resume=resume)
         feats = spark.read.parquet(os.path.join(out_dir, "seq_features"))
-        m2 = routing.route(
-            {
-                "template_counts": lambda: template_counts(feats),
-                "source_agg": lambda: source_agg(feats),
-            },
-            out_dir,
-            resume=resume,
-        )
+        stage2 = {
+            "template_counts": lambda: template_counts(feats),
+            "source_agg": lambda: source_agg(feats),
+        }
+        if detector_sinks:
+            tv = spark.read.parquet(os.path.join(out_dir, "token_vectors"))
+            stage2["vocabulary"] = lambda: vocabulary_from_vectors(tv)
+        m2 = routing.route(stage2, out_dir, resume=resume)
         out["manifests"] = m1 | m2
         out["rows"] = out["manifests"]["seq_features"]["rows"]
     out["wall_s"] = round(time.time() - t0, 3)

@@ -53,6 +53,47 @@ def test_iplom_matches_reference_templates(spark, token_streams, tmp_path):
     assert my_t == ref_t
 
 
+def test_brain_granularity_vs_reference(spark, token_streams, tmp_path):
+    """Brain parity evidence: run the REFERENCE BrainParser (pure Python once
+    its polars-only result formatter is bypassed) on the same token streams
+    and compare cluster count + size distribution against sparklead's
+    relational Brain (which omits the child-split recursion — declared
+    divergence, mining/brain.py:21-24)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_brain", "/root/reference/loglead/parsers/Brain/Brain.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    class _Series(list):  # BrainParser expects a polars Series (.to_list)
+        def to_list(self):
+            return list(self)
+
+    parser = ref.BrainParser(_Series([" ".join(t) for t in token_streams]))
+    captured: dict = {}
+    parser.generateresult = lambda ts, s: captured.update(ts)  # skip polars
+    parser.parse()
+    ref_sizes = sorted(len(v) for v in captured.values())
+
+    from sparklead.mining import parse_brain
+
+    df = spark.createDataFrame(
+        [(t, " ".join(t)) for t in token_streams], "e_words array<string>, e_message_normalized string"
+    )
+    _, templates = parse_brain(df, "e_words")
+    my_sizes = sorted(r["cluster_size"] for r in templates.collect())
+
+    assert sum(my_sizes) == sum(ref_sizes) == 2000  # full coverage both sides
+    # granularity: without the child-split recursion the relational Brain
+    # assigns a handful of marginal rows differently; bound the measured
+    # delta (observed: cluster count equal, top-8 sizes shift by <=5 rows)
+    assert abs(len(my_sizes) - len(ref_sizes)) <= 2
+    # the dominant clusters (the 8 golden templates) agree within 2% mass
+    assert sum(abs(a - b) for a, b in zip(my_sizes[-8:], ref_sizes[-8:])) <= 40
+
+
 def test_pl_iplom_granularity_delta_documented(spark, token_streams, tmp_path):
     """PL-IPLoM omits S3 (declared divergence, mining/pl_iplom.py:18-21);
     the measured granularity delta vs the reference must stay small on the

@@ -168,13 +168,14 @@ def main() -> None:
         f"|---|---|---|---|",
         f"| local[8]→local[32] | {raw_8_32:.3f} | {hw_eff_8_32:.3f} | {norm_8_32:.2f} |",
         "",
-        "The pipeline tracks the hardware curve: its 8→32 efficiency equals the",
-        "machine's own — no software serial bottleneck beyond the VM's CPU",
-        "oversubscription. On a real 1000-executor cluster the fleet, not a",
-        "single oversubscribed host, provides the cores; the plan shape (one",
-        "wide scan, broadcast-only joins, algebraic partial aggregation, zero",
-        "extra shuffles) is what N→4N efficiency depends on, and it is",
-        "demonstrated in the linear region above.",
+        f"Pipeline 8→32 efficiency reaches {norm_8_32:.0%} of the hardware's own",
+        "oversubscribed ceiling (the faster the per-core pipeline gets, the",
+        "more the VM's memory-bandwidth contention shows at 32 threads). On a",
+        "real 1000-executor cluster the fleet, not a single oversubscribed",
+        "host, provides the cores; the plan shape (one wide scan,",
+        "broadcast-only joins, algebraic partial aggregation, zero extra",
+        "shuffles) is what N→4N efficiency depends on, and it is demonstrated",
+        "in the hardware-linear region above.",
         "",
         "Per-sink rows (all runs identical): " + json.dumps(r_hi["sink_rows"]),
         "",
