@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_source_agg": _q_pipeline_source_agg,
         "multimodal_features": _q_multimodal_features,
         "ivf_topk": _q_ivf_topk,
+        "embedding_neardup": _q_embedding_neardup,
     }
 
 
@@ -240,13 +241,18 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_item_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running cumulative count of error events (eventlog.py:433-489)."""
+    """Running cumulative count of error events (eventlog.py:433-489), via
+    the two-phase distributed prefix sum (no single-task global window)."""
+    from sparklead.enhancers.eventlog import distributed_cumsum
+
     ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
-    w = Window.orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return ev.select(
-        "event_id",
-        F.sum((F.col("event_type") == "error").cast("int")).over(w).alias("cumu_items_an"),
+    out = distributed_cumsum(
+        ev,
+        (F.col("event_type") == "error").cast("int"),
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        "cumu_items_an",
     )
+    return out.select("event_id", "cumu_items_an")
 
 
 def _q_window_fill_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,10 +713,10 @@ def _q_embedding_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis suite per doc: language-ID, quality score, token counts
     AND the winnowing document fingerprint — one per-document frame."""
-    from sparklead.textstats import fingerprint, lang_id, quality_score, token_counts
+    from sparklead.textstats import text_features
 
     docs = _read(spark, sf_dir, "documents")
-    out = fingerprint(quality_score(lang_id(token_counts(docs))))
+    out = text_features(docs)
     return out.select(
         "doc_id",
         "n_ws_tokens",
@@ -857,6 +863,24 @@ def _q_pipeline_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = synth.pretokenized(spark, 20_000)
     meta = synth.source_meta(spark)
     return source_agg(enrich_stage(parse_stage(pt), meta))
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates via sign-LSH buckets + in-bucket
+    exact verify. Near-dups are SEEDED (every 5th vector re-inserted at
+    vec_id+10000 with a tiny uniform scale perturbation — cosine 1.0, same
+    sign pattern, so the LSH bucket provably collides); the random corpus
+    has no >=0.95 pairs of its own. Rows-only: sign buckets are xxhash64-
+    derived (no DuckDB equivalent); recall is pinned in pytest."""
+    from sparklead.dedup import embedding_neardup
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    near = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    pairs = embedding_neardup(emb.unionByName(near), threshold=0.95)
+    return pairs.select("a_id", "b_id", F.round("cosine", 4).alias("cosine"))
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,19 +24,34 @@ def whitespace_tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
+def _lowered_words(df: DataFrame, text_col: str) -> tuple[DataFrame, bool]:
+    """Materialize the lowered whitespace-token array ONCE as `_ws_lower`
+    (Catalyst never CSEs repeated split/lower expressions — every stopword
+    filter would otherwise re-split and re-lower the text; the 4-language
+    lang_id alone was 5 splits, measured ~2x slower). Returns (df, added)."""
+    if "_ws_lower" in df.columns:
+        return df, False
+    return df.withColumn("_ws_lower", whitespace_tokens(F.lower(F.col(text_col)))), True
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n_ws_tokens (whitespace) + n_bpe_tokens (BPE-ish regex pieces)."""
     t = F.col(text_col)
-    return df.withColumn("n_ws_tokens", F.size(whitespace_tokens(t))).withColumn(
+    df, added = _lowered_words(df, text_col)
+    out = df.withColumn("n_ws_tokens", F.size("_ws_lower")).withColumn(
         "n_bpe_tokens", F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), F.lit(0)))
     )
+    return out.drop("_ws_lower") if added else out
+
+
+def _stopword_ratio_of(words_lower: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(words_lower, lambda w: F.array_contains(sw, w)))
+    return hits / F.greatest(F.size(words_lower), F.lit(1)).cast("double")
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    words = whitespace_tokens(F.lower(text))
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
-    return hits / F.greatest(F.size(words), F.lit(1)).cast("double")
+    return _stopword_ratio_of(whitespace_tokens(F.lower(text)), lang)
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -45,34 +60,51 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     Deterministic tie-break by language code order; 'unknown' when no
     stopword hits at all.
     """
-    t = F.col(text_col)
-    scores = F.array(*[F.struct((-stopword_ratio(t, lg)).alias("neg"), F.lit(lg).alias("lg")) for lg in sorted(STOPWORDS)])
+    df, added = _lowered_words(df, text_col)
+    wl = F.col("_ws_lower")
+    scores = F.array(
+        *[F.struct((-_stopword_ratio_of(wl, lg)).alias("neg"), F.lit(lg).alias("lg")) for lg in sorted(STOPWORDS)]
+    )
     best = F.array_min(scores)
-    return df.withColumn(
+    out = df.withColumn(
         "lang_pred", F.when(-best["neg"] > 0, best["lg"]).otherwise(F.lit("unknown"))
     ).withColumn("lang_score", -best["neg"])
+    return out.drop("_ws_lower") if added else out
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality in [0,1]: length, punctuation density,
-    stopword ratio, mean word length (the usual pretraining-filter signals)."""
+    stopword ratio, mean word length (the usual pretraining-filter signals).
+
+    Word counts use the lowered-token array (identical sizes to the raw
+    split, so values are unchanged by the sharing)."""
     t = F.col(text_col)
-    words = whitespace_tokens(t)
+    df, added = _lowered_words(df, text_col)
     n_chars = F.length(t)
-    n_words = F.greatest(F.size(words), F.lit(1))
+    n_words = F.greatest(F.size("_ws_lower"), F.lit(1))
     punct_ratio = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0))) / F.greatest(n_chars, F.lit(1)).cast("double")
     mean_wlen = n_chars.cast("double") / n_words.cast("double")
-    sw = stopword_ratio(t)
+    sw = _stopword_ratio_of(F.col("_ws_lower"), "en")
     len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), 1.0).otherwise(0.25)
     punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.5)
     wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 12), 1.0).otherwise(0.5)
     sw_ok = F.when(sw >= 0.05, 1.0).otherwise(0.5)
-    return (
+    out = (
         df.withColumn("punct_ratio", punct_ratio)
         .withColumn("stopword_ratio", sw)
         .withColumn("mean_word_len", mean_wlen)
         .withColumn("quality", (len_ok + punct_ok + wlen_ok + sw_ok) / 4.0)
     )
+    return out.drop("_ws_lower") if added else out
+
+
+def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """token_counts + lang_id + quality_score + fingerprint over ONE shared
+    lowered-token column (materialized once, dropped at the end)."""
+    shared, _ = _lowered_words(df, text_col)
+    return fingerprint(
+        quality_score(lang_id(token_counts(shared, text_col), text_col), text_col), text_col
+    ).drop("_ws_lower")
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 8, keep: int = 4) -> DataFrame:

@@ -352,6 +352,39 @@ def test_load_pro_from_files(spark, tmp_path):
     assert out[0]["normal"] and out[0]["log_level"] == "INFO"
 
 
+def test_embedding_neardup_finds_seeded_pairs(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["embedding_neardup"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    seeded = {(r["a_id"], r["b_id"]) for r in rows if r["b_id"] == r["a_id"] + 10000}
+    n_expected = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 5 == 0)
+        .count()
+    )
+    # uniform scaling preserves the sign pattern -> LSH bucket collides ->
+    # every seeded pair must be recalled at cosine ~1
+    assert len(seeded) == n_expected
+    assert all(r["cosine"] >= 0.95 for r in rows)
+
+
+def test_distributed_cumsum_matches_global_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparklead.enhancers.eventlog import distributed_cumsum
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(16)
+    v = (F.col("event_type") == "error").cast("int")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    dist = distributed_cumsum(ev, v, order, "c", num_partitions=16)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = ev.withColumn("c", F.sum(v).over(w))
+    a = {r["event_id"]: r["c"] for r in dist.select("event_id", "c").collect()}
+    b = {r["event_id"]: r["c"] for r in ref.select("event_id", "c").collect()}
+    assert a == b
+
+
 # ------------------------------------------------------------------ IVF sample fit
 
 def test_ivf_sample_fit_keeps_recall(spark, sf_dir):
