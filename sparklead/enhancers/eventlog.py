@@ -126,6 +126,7 @@ def distributed_cumsum(
     order_cols: list[Column],
     out_column: str,
     num_partitions: int | None = None,
+    persist_ranged: bool = False,
 ) -> DataFrame:
     """Globally-ordered running sum WITHOUT a single-task global window —
     the classic two-phase distributed prefix sum:
@@ -140,16 +141,26 @@ def distributed_cumsum(
     the single sequential step is the offsets fold over #partitions rows,
     never over data. This upgrades item_cumsum from 'report-scale only'
     (round-1 plan audit) to a 100-TB-shaped operator.
+
+    Two passes over the ranged frame are inherent to distributed prefix
+    computation (pass 1 = per-partition totals, pass 2 = apply offsets —
+    same shape as Spark's own zipWithIndex); spark_partition_id() blocks
+    ReusedExchange, so ``persist_ranged=True`` trades cluster memory for
+    the second range shuffle when the frame fits.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     d = df.repartitionByRange(n, *order_cols).withColumn("_pid", F.spark_partition_id())
+    if persist_ranged:
+        d = d.persist()
     local_w = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     local = d.withColumn("_local", F.sum(value).over(local_w))
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # totals from the range-partitioned frame directly (no second window);
+    # the range exchange is shared between both subtrees via ReusedExchange
     offsets = (
-        local.groupBy("_pid")
+        d.groupBy("_pid")
         .agg(F.sum(value).alias("_t"))
         .withColumn("_off", F.coalesce(F.sum("_t").over(off_w), F.lit(0)))
         .select("_pid", "_off")

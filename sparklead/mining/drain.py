@@ -140,10 +140,20 @@ class DrainMiner:
         sim_th, max_clusters = self.sim_th, self.max_clusters
 
         def mine_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            local = _LocalDrain(sim_th, max_clusters)
+            # log data is massively repetitive: count identical token arrays
+            # first, then cluster the DISTINCT ones (weighted) in a sorted,
+            # deterministic order — phase 1 stops depending on row order and
+            # the Python loop runs over distinct lines, not all lines
+            from collections import Counter
+
+            counts: Counter = Counter()
             for pdf in batches:
-                for toks in pdf["t"]:
-                    local.add(list(toks))
+                counts.update(tuple(toks) for toks in pdf["t"])
+            local = _LocalDrain(sim_th, max_clusters)
+            for toks, cnt in sorted(
+                counts.items(), key=lambda kv: (len(kv[0]), " ".join(kv[0]), -kv[1])
+            ):
+                local.add(list(toks), cnt)
             tpls = local.templates()
             yield pd.DataFrame(
                 {"template": [t for t, _ in tpls], "count": [c for _, c in tpls]}

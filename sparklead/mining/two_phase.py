@@ -43,10 +43,19 @@ class TwoPhaseMiner:
         factory = self._factory
 
         def mine_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            local = factory()
+            # distinct-first clustering (see DrainMiner._partials): the local
+            # algorithm sees each distinct line once, weighted, sorted —
+            # deterministic and O(distinct) instead of O(rows)
+            from collections import Counter
+
+            counts: Counter = Counter()
             for pdf in batches:
-                for toks in pdf["t"]:
-                    local.add(list(toks), 1)
+                counts.update(tuple(toks) for toks in pdf["t"])
+            local = factory()
+            for toks, cnt in sorted(
+                counts.items(), key=lambda kv: (len(kv[0]), " ".join(kv[0]), -kv[1])
+            ):
+                local.add(list(toks), cnt)
             tpls = local.templates()
             yield pd.DataFrame({"template": [t for t, _ in tpls], "count": [c for _, c in tpls]})
 
