@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "ivf_topk": _q_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "streaming_window": _q_streaming_window,
     }
 
 
@@ -845,6 +846,26 @@ def _q_streaming_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(os.path.join(out, "source_agg"))
         .groupBy("source")
         .agg(F.sum("n_seqs").alias("n_seqs"))
+    )
+
+
+def _q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed aggregation over the events stream
+    (availableNow): per-window/type counts from the append-mode sink.
+    Rows-only: the streaming runtime + watermark semantics aren't
+    SQL-replayable (the sink holds only windows the watermark closed)."""
+    import tempfile
+
+    from sparklead.streaming import stream_window_counts
+
+    d = tempfile.mkdtemp(prefix="sparklead_wc_")
+    inp, out = os.path.join(d, "in"), os.path.join(d, "out")
+    _read(spark, sf_dir, "events").write.parquet(inp)
+    stream_window_counts(spark, inp, out).awaitTermination(180)
+    return (
+        spark.read.parquet(os.path.join(out, "window_counts"))
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_closed"), F.count(F.lit(1)).alias("n_windows"))
     )
 
 
