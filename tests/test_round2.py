@@ -385,6 +385,22 @@ def test_distributed_cumsum_matches_global_window(spark, sf_dir):
     assert a == b
 
 
+def test_lane_packed_simhash_matches_naive_fold(spark, sf_dir):
+    """with_simhash (16 lane-packed shift-add folds) must stay value-identical
+    to simhash64 (the single 64-way when-array fold) — same majority votes,
+    including ties (2*cnt == n -> bit unset on both paths)."""
+    from sparklead.dedup import simhash64, with_simhash
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .limit(300)
+    )
+    naive = docs.select("doc_id", simhash64(F.col("toks")).alias("a"))
+    fast = with_simhash(docs, "toks", "b").select("doc_id", "b")
+    assert naive.join(fast, "doc_id").filter(F.col("a") != F.col("b")).count() == 0
+
+
 # ------------------------------------------------------------------ IVF sample fit
 
 def test_ivf_sample_fit_keeps_recall(spark, sf_dir):
