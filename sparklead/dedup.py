@@ -169,7 +169,7 @@ def simhash_from_hashes(hashes: Column) -> Column:
 _LANE_MASK = 0x0001000100010001  # bit 0 of each 16-bit lane
 
 
-def with_simhash(df: DataFrame, tokens_col: str, out_col: str = "simhash") -> DataFrame:
+def with_simhash(df: DataFrame, tokens_col: str, out_col: str = "simhash", max_tokens: int = 65_535) -> DataFrame:
     """Add a 64-bit SimHash column — the fast lane-packed form.
 
     hash each token ONCE into a projected column, then SIMD-in-a-register
@@ -177,22 +177,28 @@ def with_simhash(df: DataFrame, tokens_col: str, out_col: str = "simhash") -> Da
     ``(h >> k) & 0x0001000100010001`` — four 16-bit lane counters per long,
     counting hash bits k, k+16, k+32, k+48 in one add. 16 folds replace 64
     (or the 64-element when-array per token of the naive fold); lanes can't
-    carry into each other while documents stay under 65,536 tokens. Packs
-    and the hash array are materialized as columns — every expression here
-    is multiply-referenced, and Catalyst re-evaluates (never CSEs) repeated
-    subexpressions.
+    carry into each other while documents stay under 65,536 tokens — so the
+    token stream is EXPLICITLY CAPPED at ``max_tokens`` via slice: a monster
+    document's signature is the simhash of its first ``max_tokens`` tokens
+    (deterministic, documented prefix semantics) rather than a silently
+    lane-overflowed value. Packs and the hash array are materialized as
+    columns — every expression here is multiply-referenced, and Catalyst
+    re-evaluates (never CSEs) repeated subexpressions.
     """
+    assert max_tokens < 65_536, "lane counters are 16-bit; the cap must stay under 65,536"
 
     def _lane_fold(k: int):
         # pyspark lambda-arity sniffing: the merge fn must take exactly 2 args
         return lambda acc, h: acc + (F.shiftright(h, k).bitwiseAND(F.lit(_LANE_MASK)))
 
-    df = df.withColumn("_sh_h", F.transform(F.col(tokens_col), lambda t: F.xxhash64(t)))
+    df = df.withColumn(
+        "_sh_h", F.transform(F.slice(F.col(tokens_col), 1, max_tokens), lambda t: F.xxhash64(t))
+    )
     for k in range(16):
         df = df.withColumn(
             f"_sh_p{k}", F.aggregate(F.col("_sh_h"), F.lit(0).cast("long"), _lane_fold(k))
         )
-    n = F.size(F.col(tokens_col))
+    n = F.size(F.col("_sh_h"))  # capped length — must match the counted stream
     sig = F.lit(0).cast("long")
     for b, m in enumerate(_bit_masks()):
         k, lane = b % 16, b // 16
@@ -242,30 +248,78 @@ def simhash_dedup(df: DataFrame, tokens_col: str, key_col: str = "doc_id") -> Da
 
 # ------------------------------------------------------------------ embedding near-dup
 
+def embedding_neardup_candidates(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_bands: int = 4,
+    planes_per_band: int = 16,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Banded sign-LSH candidate pairs (a_id < b_id, n_band_hits).
+
+    Multi-table LSH: ``n_bands`` independent bucket tables, each keyed by the
+    sign pattern of ``planes_per_band`` deterministic hyperplanes (distinct
+    plane sets per band via ``plane_offset``). A candidate pair needs to
+    collide in >= 1 band. Unlike a single fixed-plane bucketing, the bucket
+    count (2^planes_per_band PER BAND) scales far past the corpus size, and
+    ``max_bucket`` drops degenerate buckets (the same semi-join guard as
+    ``minhash_candidates``) — so the in-bucket self-join is bucket-bounded at
+    any corpus size, never O((n/256)^2). Only (id, band-key) rows go through
+    the shuffle; embeddings are joined back per-candidate by the verifier.
+    """
+    from sparklead.similarity import signbucket_expr
+
+    keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                signbucket_expr(F.col(emb_col), planes_per_band, plane_offset=b * planes_per_band).cast("string"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    sig = df.select(F.col(key_col).alias("id"), F.explode(keys).alias("band"))
+    if max_bucket:
+        ok = (
+            sig.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .select("band")
+        )
+        sig = sig.join(ok, "band", "left_semi")
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_band_hits"))
+    )
+
+
 def embedding_neardup(
     df: DataFrame,
     emb_col: str = "embedding",
     key_col: str = "vec_id",
     threshold: float = 0.95,
+    n_bands: int = 4,
+    planes_per_band: int = 16,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs via sign-LSH bucketing + in-bucket verify.
+    """Cosine near-duplicate pairs: banded sign-LSH candidates + exact verify.
 
-    Buckets on the sign pattern of 8 deterministic pseudo-hyperplanes
-    (hash-derived), so the join is bucket-bounded. Within-bucket pairs are
-    verified with exact cosine.
-    """
-    from sparklead.similarity import cosine_expr, signbucket_expr
+    Candidate generation is ``embedding_neardup_candidates`` (bucket-bounded,
+    multi-band); each surviving pair is verified with exact cosine. Exact
+    duplicates (cosine 1.0) share every band's sign pattern, so their recall
+    is 1.0 by construction; near-dups at ``threshold`` are recalled when any
+    one band's planes all agree (tune n_bands/planes_per_band for the
+    recall/candidate-volume trade)."""
+    from sparklead.similarity import cosine_expr
 
-    with_b = df.select(
-        F.col(key_col).alias("id"), F.col(emb_col).alias("v"), signbucket_expr(F.col(emb_col), 8).alias("bucket")
-    )
-    a, b = with_b.alias("a"), with_b.alias("b")
-    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+    cand = embedding_neardup_candidates(df, emb_col, key_col, n_bands, planes_per_band, max_bucket)
+    emb = df.select(F.col(key_col).alias("id"), F.col(emb_col).alias("v"))
     return (
-        pairs.select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
-        )
+        cand.join(emb.select(F.col("id").alias("a_id"), F.col("v").alias("va")), "a_id")
+        .join(emb.select(F.col("id").alias("b_id"), F.col("v").alias("vb")), "b_id")
+        .select("a_id", "b_id", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

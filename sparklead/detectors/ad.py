@@ -34,11 +34,28 @@ def train_test_split(
     seed: int = 42,
     key_col: str = "seq_id",
     time_col: str = "start_time",
+    method: str = "hash",
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic split. Shuffled = hash-bucket on the key (reproducible
     under any partitioning); chronological = percent_rank head/tail
-    (anomaly_detection.py:197-208)."""
-    if shuffle:
+    (anomaly_detection.py:197-208).
+
+    ``method='permutation'`` gives the reference's EXACT-fraction global
+    random permutation semantics (polars sample(fraction=1.0, shuffle=True),
+    anomaly_detection.py:197): percent_rank over orderBy(rand(seed), key).
+    Exact split sizes, but a global sort; and Spark's rand(seed) draws from
+    per-partition streams, so the permutation is reproducible only for a
+    FIXED input partitioning (pinned in pytest). The hash-bucket default is
+    the scale path: approximate fraction, no sort, partitioning-invariant."""
+    if shuffle and method == "permutation":
+        from pyspark.sql import Window
+
+        ranked = df_seq.withColumn(
+            "_pr", F.percent_rank().over(Window.orderBy(F.rand(seed), key_col))
+        )
+        train = ranked.filter(F.col("_pr") < 1 - test_frac).drop("_pr")
+        test = ranked.filter(F.col("_pr") >= 1 - test_frac).drop("_pr")
+    elif shuffle:
         u = F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
         train = df_seq.filter(u >= test_frac)
         test = df_seq.filter(u < test_frac)

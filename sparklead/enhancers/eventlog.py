@@ -126,7 +126,7 @@ def distributed_cumsum(
     order_cols: list[Column],
     out_column: str,
     num_partitions: int | None = None,
-    persist_ranged: bool = False,
+    persist_ranged: bool = True,
 ) -> DataFrame:
     """Globally-ordered running sum WITHOUT a single-task global window —
     the classic two-phase distributed prefix sum:
@@ -144,9 +144,16 @@ def distributed_cumsum(
 
     Two passes over the ranged frame are inherent to distributed prefix
     computation (pass 1 = per-partition totals, pass 2 = apply offsets —
-    same shape as Spark's own zipWithIndex); spark_partition_id() blocks
-    ReusedExchange, so ``persist_ranged=True`` trades cluster memory for
-    the second range shuffle when the frame fits.
+    same shape as Spark's own zipWithIndex). The ranged frame is PERSISTED
+    by default: the local-sums and offsets subtrees both read it, and
+    ``spark_partition_id()`` is partition-layout-dependent — if the two
+    subtrees re-evaluated the range exchange independently over a
+    nondeterministic upstream (post-shuffle row order changes the range
+    sampler's splits), ``_pid`` assignments could differ between them and
+    silently corrupt the result. Persisting pins one materialization of the
+    frame for both subtrees (the same guard brain.py applies to its _rid).
+    Pass ``persist_ranged=False`` only when the input lineage is
+    deterministic (e.g. a sorted parquet scan) and memory is tight.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     d = df.repartitionByRange(n, *order_cols).withColumn("_pid", F.spark_partition_id())
@@ -158,7 +165,7 @@ def distributed_cumsum(
     local = d.withColumn("_local", F.sum(value).over(local_w))
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     # totals from the range-partitioned frame directly (no second window);
-    # the range exchange is shared between both subtrees via ReusedExchange
+    # both subtrees read the persisted ranged frame (see docstring)
     offsets = (
         d.groupBy("_pid")
         .agg(F.sum(value).alias("_t"))

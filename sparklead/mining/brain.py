@@ -45,8 +45,13 @@ def parse_brain(
     pos = base.select("_len", F.posexplode(tokens_col).alias("pos", "tok"))
     freqs = pos.groupBy("_len", "pos", "tok").agg(F.count(F.lit(1)).alias("freq"))
 
-    # per-row frequency vector via broadcast join of the (small) freq table,
-    # then root = md5 over the (pos:token) pairs at the row's max frequency.
+    # per-row frequency vector via a join of the freq table. NO broadcast
+    # hint (round-2 fix): |freqs| = distinct (length, position, token)
+    # triples, which on an unmasked high-cardinality corpus can exceed
+    # executor memory — a forced hint overrides Catalyst's size check and
+    # OOMs, whereas the unhinted plan degrades to a shuffle join (and AQE
+    # still promotes it to broadcast at runtime when the aggregate turns
+    # out small, the common case on masked machine logs).
     # _rid is derived ONCE and the frame is CACHED: ided feeds two join
     # branches (roots and keyed), and an uncached monotonically_increasing_id
     # could re-number rows differently per branch under a nondeterministic
@@ -54,7 +59,7 @@ def parse_brain(
     ided = base.withColumn("_rid", F.monotonically_increasing_id()).cache()
     with_freq = (
         ided.select("_rid", "_len", F.posexplode(tokens_col).alias("pos", "tok"))
-        .join(broadcast(freqs), ["_len", "pos", "tok"], "left")
+        .join(freqs, ["_len", "pos", "tok"], "left")
     )
     per_freq = with_freq.groupBy("_rid", "_len", "freq").agg(
         F.count(F.lit(1)).alias("_cnt"), F.min("pos").alias("_first_pos")

@@ -10,10 +10,11 @@ That design cannot distribute, so this is a redesign (SURVEY.md §2.9):
       greedy similarity clustering (token-position agreement >= sim_th,
       disagreeing positions wildcarded to '<*>').
   Phase 2 (tree merge): the per-partition template sets (bounded by
-      max_clusters each) first fold through ONE distributed mapInPandas
-      merge round (fanout 32) so the driver collects O(max_clusters x
-      P/32) rows instead of O(max_clusters x P); the final fold runs the
-      same rule after a deterministic sort, producing the template table.
+      max_clusters each) fold through RECURSIVE distributed mapInPandas
+      merge rounds (fanout 32) until at most ``fanout`` partitions remain,
+      so the driver collects O(max_clusters x fanout) rows at any input
+      partition count; the final fold runs the same rule after a
+      deterministic sort, producing the template table.
   Phase 3 (distributed, broadcast): the final table is broadcast and each
       event is assigned its best-matching template via an Arrow-batched
       pandas UDF — a map-side lookup, zero shuffle.
@@ -134,9 +135,9 @@ class DrainMiner:
         """Per-partition template sets, TREE-MERGED before the driver sees
         them: with P input partitions a direct collect is O(max_clusters x P)
         driver rows — at 100 TB (10^5-10^6 partitions) a multi-hundred-
-        million-row collect. One intermediate distributed merge round
-        (repartition to ceil(P/fanout), fold with the same local algorithm)
-        caps driver intake at O(max_clusters x P/fanout)."""
+        million-row collect. Recursive distributed merge rounds (repartition
+        to P/fanout, fold with the same local algorithm, repeat) cap driver
+        intake at O(max_clusters x fanout) regardless of P."""
         sim_th, max_clusters = self.sim_th, self.max_clusters
 
         def mine_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -175,10 +176,13 @@ class DrainMiner:
         schema = "template array<string>, count long"
         partials = df.select(F.col(tokens_col).alias("t")).mapInPandas(mine_partition, schema)
         n_parts = df.rdd.getNumPartitions()
-        if n_parts > merge_fanout:
-            partials = partials.repartition(max(1, n_parts // merge_fanout)).mapInPandas(
-                merge_partition, schema
-            )
+        # RECURSIVE fold (round-2 fix): repeat the distributed merge until at
+        # most ``merge_fanout`` partitions remain, so driver intake is
+        # O(max_clusters x fanout) at ANY input partition count (10^6 parquet
+        # splits at 100 TB), not O(max_clusters x P/fanout) of a single round.
+        while n_parts > merge_fanout:
+            n_parts = max(1, n_parts // merge_fanout)
+            partials = partials.repartition(n_parts).mapInPandas(merge_partition, schema)
         return partials
 
     def fit(self, df: DataFrame, tokens_col: str = "e_words", merge_fanout: int = 32) -> "DrainMiner":

@@ -96,9 +96,13 @@ def _determine_p1p2(
         count_1 = sum(1 for d in cards.values() if d == 1)
         if count_1 / n_len >= ct:  # cluster goodness: already mostly constant
             continue
-        # frequency of each cardinality across columns
+        # frequency of each cardinality across columns — iterate positions in
+        # SORTED order: card_rows arrive in collect() order (nondeterministic),
+        # and the max/second-max selection below breaks count ties by first
+        # encounter, so unsorted iteration could flip p1/p2 run-to-run
         freq: dict[int, int] = {}
-        for d in cards.values():
+        for pos in sorted(cards):
+            d = cards[pos]
             freq[d] = freq.get(d, 0) + 1
         p1 = p2 = -1
         if part in split2_parts:

@@ -84,7 +84,6 @@ def pl_iplom_templates(
     pl_iplom.py:232-242). template_id = md5(template)[:8] prefixed 'e'.
     """
     base = _keyed_df if _keyed_df is not None else _keyed(df.select(tokens_col), tokens_col, rounds)
-    total = base.count()
     per_pos = (
         base.select("part_key", F.posexplode(tokens_col).alias("pos", "tok"))
         .groupBy("part_key", "pos")
@@ -101,10 +100,16 @@ def pl_iplom_templates(
         )
     )
     sizes = base.groupBy("part_key").agg(F.count(F.lit(1)).alias("part_len"))
+    # the FST denominator comes from the sizes aggregate itself (an unbounded
+    # window over the TEMPLATE-sized frame), not a separate count() job over
+    # the data-sized input (round-2 plan-audit fix: one fewer full scan)
+    from pyspark.sql import Window
+
+    total = F.sum("part_len").over(Window.partitionBy())
     return (
         templates.join(sizes, "part_key")
         .withColumn("template_id", F.concat(F.lit("e"), F.substring(F.md5("template"), 1, 8)))
-        .withColumn("is_outlier", F.col("part_len") / F.lit(float(total)) < support_threshold)
+        .withColumn("is_outlier", F.col("part_len") / total.cast("double") < support_threshold)
     )
 
 

@@ -73,10 +73,11 @@ class TwoPhaseMiner:
         schema = "template array<string>, count long"
         partials = df.select(F.col(tokens_col).alias("t")).mapInPandas(mine_partition, schema)
         n_parts = df.rdd.getNumPartitions()
-        if n_parts > merge_fanout:
-            partials = partials.repartition(max(1, n_parts // merge_fanout)).mapInPandas(
-                merge_partition, schema
-            )
+        # recursive fold to <= fanout partitions (see DrainMiner._partials):
+        # driver intake is O(templates x fanout) at any input partition count
+        while n_parts > merge_fanout:
+            n_parts = max(1, n_parts // merge_fanout)
+            partials = partials.repartition(n_parts).mapInPandas(merge_partition, schema)
         return partials
 
     def fit(self, df: DataFrame, tokens_col: str = "e_words", merge_fanout: int = 32) -> "TwoPhaseMiner":

@@ -111,15 +111,24 @@ def token_vectors(df: DataFrame) -> DataFrame:
 
 
 def vocabulary(df: DataFrame) -> DataFrame:
-    """Corpus token vocabulary: freq + doc frequency. The pipeline's one real
-    shuffle (explode + hash agg); map-side partial aggregation collapses the
-    per-partition token stream to vocabulary size before the exchange, so the
-    shuffle volume is O(|vocab| * partitions), not O(total tokens) — the skew
-    of hot tokens is absorbed by the partial agg."""
-    return (
+    """Corpus token vocabulary: freq + doc frequency (exact).
+
+    n_docs counts distinct (doc, token) pairs EXACTLY via a per-doc-distinct
+    pre-aggregation — the same semantics as ``vocabulary_from_vectors``
+    (round-2 fix: the two paths used to disagree, HLL sketch vs exact).
+    Map-side combine at (doc_id, token) grain collapses each doc's repeated
+    tokens before the exchange (docs are partition-local), so shuffle volume
+    is O(sum of per-doc distinct tokens) — identical to what the
+    from_vectors path explodes; hot-token skew is absorbed because doc_id in
+    the key spreads each token over all docs that contain it. The second agg
+    (token grain) is vocabulary-sized."""
+    per_doc = (
         df.select("doc_id", F.explode("tokens").alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"), F.approx_count_distinct("doc_id").alias("n_docs"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return per_doc.groupBy("token").agg(
+        F.sum("_n").alias("freq"), F.count(F.lit(1)).alias("n_docs")
     )
 
 

@@ -31,13 +31,16 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
-def signbucket_expr(v: Column, n_planes: int = 8, dim: int | None = None) -> Column:
+def signbucket_expr(v: Column, n_planes: int = 8, dim: int | None = None, plane_offset: int = 0) -> Column:
     """Sign-LSH bucket id from deterministic pseudo-random hyperplanes.
 
     Plane p's weight for dimension d = centered uniform hash of (p, d) —
     reproducible on any engine, no stored model. Returns a bigint bucket.
+    ``plane_offset`` shifts the plane ids so multi-band callers (banded
+    sign-LSH, dedup.embedding_neardup) get INDEPENDENT plane sets per band.
     """
     def plane_dot(p: int) -> Column:
+        p = p + plane_offset
         return F.aggregate(
             F.zip_with(
                 v,
@@ -131,27 +134,31 @@ def ivf_topk(
     centroids, probe the ``n_probe`` nearest cells per query, exact-rank
     inside the probed cells.
 
-    Scale path: KMeans FITS ON A SAMPLE capped at ``fit_sample`` rows (an
-    iterative algorithm must never full-scan a 100 TB corpus per iteration);
-    the full corpus is scanned exactly once, by the single cell-assignment
-    transform. The search join is an equi-join on cell id, so candidate
-    volume is corpus/n_centroids * n_probe per query instead of the full
-    corpus.
+    Scale path: KMeans FITS ON A BOUNDED PREFIX of at most ``fit_sample``
+    rows via ``limit`` (an iterative algorithm must never full-scan a 100 TB
+    corpus per iteration, and deciding a sample fraction would itself cost a
+    count job — ``limit`` stops the scan after the first partitions that
+    yield enough rows). The raw embedding is CARRIED THROUGH the vectorized
+    frame, so cell assignment and the verify column ``cv`` come from ONE
+    corpus scan — no corpus self-join (round-2 plan-audit fix). The search
+    join is an equi-join on cell id, so candidate volume is
+    corpus/n_centroids * n_probe per query instead of the full corpus.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    vecs = corpus.select(F.col(key_col), array_to_vector(F.col(emb_col).cast("array<double>")).alias("_v"))
-    n = corpus.count()
-    fit_vecs = vecs.sample(fraction=min(1.0, fit_sample / max(n, 1)), seed=seed) if n > fit_sample else vecs
+    vecs = corpus.select(
+        F.col(key_col).alias("neighbor_id"),
+        F.col(emb_col).alias("cv"),
+        array_to_vector(F.col(emb_col).cast("array<double>")).alias("_v"),
+    )
+    fit_vecs = vecs.select("_v").limit(fit_sample)
     km = KMeans(k=n_centroids, seed=seed, featuresCol="_v", predictionCol="cell")
     model = km.fit(fit_vecs)
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     cent_df = queries.sparkSession.createDataFrame(centroids, "cell int, centroid array<double>")
 
-    corpus_cells = model.transform(vecs).select(
-        F.col(key_col).alias("neighbor_id"), "cell"
-    ).join(corpus.select(F.col(key_col).alias("neighbor_id"), F.col(emb_col).alias("cv")), "neighbor_id")
+    corpus_cells = model.transform(vecs).select("neighbor_id", "cell", "cv")
 
     # per query: n_probe nearest centroids (broadcast the tiny centroid table)
     q = queries.select(F.col(key_col).alias("query_id"), F.col(emb_col).alias("qv"))

@@ -51,25 +51,42 @@ def stream_route(
     enriched_stream = enrich_stage(parse_stage(stream), source_meta)
     manifest_path = os.path.join(out_dir, "stream_manifest.jsonl")
 
-    def _committed_batches() -> set:
-        done = set()
+    def _committed_batches() -> dict:
+        done: dict = {}
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 for line in f:
                     e = json.loads(line)
                     if e.get("committed"):
-                        done.add(e["batch_id"])
+                        done[e["batch_id"]] = e.get("identity")
         return done
 
     def route_batch(batch_df: DataFrame, batch_id: int) -> None:
         # IDEMPOTENT per-batch write: after a mid-batch failure, checkpoint
         # recovery REPLAYS the batch — a plain mode('append') would land its
         # rows twice. Two guards: (1) a replayed already-committed batch is
-        # skipped via the manifest; (2) a replayed half-written batch
-        # OVERWRITES its own batch_id=N subdirectory instead of appending.
-        if batch_id in _committed_batches():
-            return
+        # skipped via the manifest, but ONLY when its recorded CONTENT
+        # IDENTITY matches the incoming batch: bare batch_ids restart from 0
+        # after a LOST checkpoint, so an id-keyed skip would drop the new
+        # (different) batch 0 — silent data loss on exactly the recovery
+        # path the manifest exists for. Identity = rows + order-invariant
+        # xxhash64 fold over the full row struct, fused with the row count
+        # the manifest needs anyway (one agg job, no extra pass); the frame
+        # is persisted first so the sink writes below reuse the scan.
+        # (2) a replayed half-written batch OVERWRITES its own batch_id=N
+        # subdirectory instead of appending.
         batch_df = batch_df.persist()
+        ident = batch_df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(struct(*)))"), F.lit(0).cast("long")
+            ).alias("fp"),
+        ).first()
+        n_rows, identity = ident["rows"], f"{ident['rows']}:{ident['fp']}"
+        committed = _committed_batches()
+        if batch_id in committed and committed[batch_id] == identity:
+            batch_df.unpersist()
+            return
         entries = []
         for name, frame in {
             "seq_features": batch_df.select(
@@ -81,10 +98,10 @@ def stream_route(
             path = os.path.join(out_dir, name, f"batch_id={batch_id}")
             frame.write.mode("overwrite").parquet(path)
             entries.append({"batch_id": batch_id, "sink": name})
-        entries.insert(0, {"batch_id": batch_id, "rows": batch_df.count()})
+        entries.insert(0, {"batch_id": batch_id, "rows": n_rows})
         # the committed marker is the LAST record: its presence implies every
         # sink dir for this batch is complete
-        entries.append({"batch_id": batch_id, "committed": True})
+        entries.append({"batch_id": batch_id, "committed": True, "identity": identity})
         with open(manifest_path, "a") as f:
             for e in entries:
                 f.write(json.dumps(e) + "\n")

@@ -1,0 +1,275 @@
+"""Round-3 fixes: banded bucket-capped embedding near-dup, recursive miner
+tree-merge, unforced Brain broadcast, single-scan IVF, fast fingerprint lane,
+bz2 compression distance, permutation split, simhash token cap, streaming
+replay identity, exact vocabulary on both paths."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparklead import synth
+from sparklead.enhancers import eventlog as E
+from sparklead.sources.hdfs import load_hdfs_events
+
+
+@pytest.fixture(scope="module")
+def tokenized(spark):
+    ev = load_hdfs_events(synth.raw_log_corpus(spark, 2000))
+    return E.words(E.normalize(ev), "e_message_normalized").cache()
+
+
+# ------------------------------------------------- recursive tree merge
+
+def test_tree_merge_recursive_fold(tokenized):
+    """Driver intake must be O(max_clusters x fanout) at ANY partition count:
+    with fanout 4 and 200 input partitions the fold recurses 200->50->12->4
+    (three merge rounds, not one), so collected rows <= 4 x max_clusters —
+    and the final template set is unchanged vs a narrow run."""
+    from sparklead.mining.drain import DrainMiner
+
+    wide = tokenized.repartition(200)
+    miner = DrainMiner()
+    partials = miner._partials(wide, "e_words", merge_fanout=4)
+    assert partials.rdd.getNumPartitions() <= 4
+    assert partials.count() <= 4 * miner.max_clusters
+    t_deep = DrainMiner().fit(wide, "e_words", merge_fanout=4).templates
+    t_base = DrainMiner().fit(tokenized.repartition(4), "e_words").templates
+    assert sorted(" ".join(t) for t, _ in t_deep) == sorted(" ".join(t) for t, _ in t_base)
+    assert sum(c for _, c in t_deep) == 2000
+
+
+def test_tree_merge_recursive_two_phase(tokenized):
+    from sparklead.mining.two_phase import LocalLenMa, TwoPhaseMiner
+
+    wide = tokenized.repartition(64)
+    partials = TwoPhaseMiner(lambda: LocalLenMa())._partials(wide, "e_words", merge_fanout=2)
+    assert partials.rdd.getNumPartitions() <= 2
+    m = TwoPhaseMiner(lambda: LocalLenMa()).fit(wide, "e_words", merge_fanout=2)
+    assert sum(c for _, c in m.templates) == 2000
+
+
+# ------------------------------------------------- banded embedding LSH
+
+def test_embedding_neardup_bucket_cap_on_skew(spark):
+    """A degenerate corpus (one identical vector mass-duplicated) would make
+    the in-bucket self-join O(m^2); the per-(band,bucket) cap must DROP the
+    oversized buckets so candidate volume is bounded, while normal-sized
+    groups keep flowing."""
+    from sparklead.dedup import embedding_neardup_candidates
+
+    hot = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(200)]  # 200-way duplicate
+    cold = [(1000 + i, [float(i + 1), -2.0, float(i), 0.5]) for i in range(20)]
+    df = spark.createDataFrame(hot + cold, "vec_id long, embedding array<double>")
+    capped = embedding_neardup_candidates(df, n_bands=2, planes_per_band=8, max_bucket=50)
+    uncapped = embedding_neardup_candidates(df, n_bands=2, planes_per_band=8, max_bucket=0)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    # uncapped: the hot bucket alone yields 200*199/2 = 19900 pairs
+    assert n_uncapped >= 19_900
+    # capped: hot buckets (>50 members in every band) are dropped entirely
+    assert n_capped < 1_000
+
+
+def test_embedding_neardup_banded_recall_and_verify(spark):
+    """Exact duplicates share every band's sign pattern -> recall 1.0; the
+    cosine verifier keeps only pairs >= threshold."""
+    from sparklead.dedup import embedding_neardup
+
+    base = [(i, [float(i % 7 + 1), float(i % 5 - 2), 1.5, -0.5]) for i in range(40)]
+    dups = [(100 + i, [x * 1.001 for x in v]) for i, v in base if i % 4 == 0]
+    df = spark.createDataFrame(base + dups, "vec_id long, embedding array<double>")
+    pairs = {(r["a_id"], r["b_id"]): r["cosine"] for r in embedding_neardup(df).collect()}
+    for i, _ in base:
+        if i % 4 == 0:
+            assert (i, 100 + i) in pairs
+            assert pairs[(i, 100 + i)] > 0.999
+    assert all(c >= 0.95 for c in pairs.values())
+
+
+# ------------------------------------------------- Brain broadcast fallback
+
+def test_brain_degrades_to_shuffle_join_without_oom(spark, tokenized):
+    """The freq-table join must carry NO forced broadcast hint: with
+    autoBroadcastJoinThreshold=-1 the plan falls back to a shuffle join and
+    the miner still produces the same templates (a forced hint would pin an
+    unbounded table into executor memory at real-corpus cardinalities)."""
+    from sparklead.mining.brain import parse_brain
+
+    small = tokenized.limit(300).cache()
+    baseline = {r["template"] for r in parse_brain(small, "e_words")[1].collect()}
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assigned, templates = parse_brain(small, "e_words")
+        plan = assigned._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert {r["template"] for r in templates.collect()} == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+# ------------------------------------------------- single-scan IVF
+
+def test_ivf_topk_single_scan_no_smj(spark, sf_dir):
+    """The search plan must scan the corpus ONCE (cell assignment carries the
+    raw embedding through — no corpus self-join) and contain no data-sized
+    sort-merge join."""
+    from sparklead.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(q, emb, k=3, n_centroids=4, n_probe=2, fit_sample=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    # one corpus scan + one query scan of the embeddings relation, max
+    assert plan.count("embeddings.parquet") <= 2
+    assert out.count() > 0
+
+
+# ------------------------------------------------- fast fingerprint lane
+
+def test_fingerprint_fast_groups_like_md5(spark, sf_dir):
+    """Both winnowing lanes must behave equivalently on seeded fixtures:
+    exact duplicates ALWAYS share the fingerprint (deterministic — same
+    shingle stream, same min-selection), and tail-edited near-dups keep
+    their source's fingerprint at a comparable rate (WHICH shingle-mins a
+    tail edit displaces is hash-dependent, so group membership can differ
+    pair-by-pair across lanes — the rate is the lane-invariant property;
+    measured md5 48/60 vs xxh 43/60 on this fixture)."""
+    from sparklead.textstats import fingerprint, fingerprint_fast
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 60)
+    dup = docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    near = docs.select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat("text", F.lit(" tail edit")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(dup).unionByName(near)
+
+    for fp in (fingerprint, fingerprint_fast):
+        rows = {r["doc_id"]: r["fingerprint"] for r in fp(corpus).collect()}
+        # exact duplicates MUST share a fingerprint in both lanes
+        assert all(rows[d] == rows[d + 1000] for d in range(60))
+        # near-dup grouping rate stays high in both lanes
+        near_hits = sum(1 for d in range(60) if rows[d] == rows[d + 2000])
+        assert near_hits >= 35
+
+
+# ------------------------------------------------- compression distance
+
+def test_compression_distance_pinned(spark):
+    import bz2
+
+    from sparklead.detectors.logdistance import compression_distance
+
+    a_rows = [(i, f"open block blk_{i} status ok") for i in range(50)]
+    b_rows = [(i, f"open block blk_{i} status ok") for i in range(40)] + [
+        (40 + i, f"write failure on node n{i}") for i in range(10)
+    ]
+    a = spark.createDataFrame(a_rows, "line_nr long, m_message string")
+    b = spark.createDataFrame(b_rows, "line_nr long, m_message string")
+    d_same = compression_distance(a, a, order_col="line_nr")
+    d_ab = compression_distance(a, b, order_col="line_nr")
+    # pin against the reference formula computed directly on the same strings
+    s_a = " ".join(r[1] for r in a_rows)
+    s_b = " ".join(r[1] for r in b_rows)
+    la, lb = len(bz2.compress(s_a.encode())), len(bz2.compress(s_b.encode()))
+    lab = len(bz2.compress((s_a + s_b).encode()))
+    assert d_ab == (lab - min(la, lb)) / max(la, lb)
+    assert d_same < d_ab  # identical runs compress together far better
+    # list<str> column branch (the reference's List(Utf8) path)
+    at = a.select("line_nr", F.split("m_message", " ").alias("w"))
+    assert compression_distance(at, at, column="w", order_col="line_nr") == d_same
+
+
+# ------------------------------------------------- permutation split
+
+def test_permutation_split_exact_and_deterministic(spark):
+    from sparklead.detectors.ad import train_test_split
+
+    df = spark.createDataFrame(
+        [(f"s{i:03d}", i) for i in range(100)], "seq_id string, start_time long"
+    ).repartition(8, "seq_id").cache()
+    df.count()  # pin the partitioning so rand(seed) is reproducible
+    tr1, te1 = train_test_split(df, 0.25, seed=7, method="permutation")
+    tr2, te2 = train_test_split(df, 0.25, seed=7, method="permutation")
+    ids = lambda d: {r["seq_id"] for r in d.select("seq_id").collect()}
+    assert ids(te1) == ids(te2) and ids(tr1) == ids(tr2)  # deterministic
+    assert len(ids(te1)) == 25 and len(ids(tr1)) == 75  # exact fraction
+    assert ids(te1).isdisjoint(ids(tr1))
+    # a different seed yields a different permutation
+    _, te3 = train_test_split(df, 0.25, seed=8, method="permutation")
+    assert ids(te3) != ids(te1)
+
+
+# ------------------------------------------------- simhash token cap
+
+def test_simhash_token_cap_is_prefix_semantics(spark):
+    """Docs past the lane-counter capacity get the simhash of their first
+    max_tokens tokens — exercised with a tiny cap: capped lane-packed value
+    == naive simhash64 of the sliced prefix."""
+    from sparklead.dedup import simhash64, with_simhash
+
+    rows = [(i, [f"t{i}_{j}" for j in range(12)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    capped = with_simhash(df, "toks", "sh", max_tokens=8).select("doc_id", "sh")
+    ref = df.select("doc_id", simhash64(F.slice("toks", 1, 8)).alias("ref"))
+    assert capped.join(ref, "doc_id").filter(F.col("sh") != F.col("ref")).count() == 0
+
+
+# ------------------------------------------------- streaming replay identity
+
+def test_stream_replay_detects_new_batch_zero(spark, tmp_path):
+    """Lost checkpoint + grown input: the restarted query renumbers batches
+    from 0, so a bare batch_id-keyed manifest would skip the NEW batch 0 as
+    'committed' — silent data loss. The identity (source-file hash) check
+    must let the new batch 0 through."""
+    import shutil
+
+    from sparklead.streaming import stream_route
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    pt = synth.pretokenized(spark, 400)
+    pt.filter(F.col("doc_id") < "doc_000000200").coalesce(1).write.mode("append").parquet(inp)
+    stream_route(spark, inp, out, synth.source_meta(spark)).awaitTermination(180)
+    assert spark.read.parquet(os.path.join(out, "seq_features")).count() == 200
+    # lose the checkpoint AND grow the input
+    shutil.rmtree(os.path.join(out, "_checkpoint"))
+    pt.filter(F.col("doc_id") >= "doc_000000200").coalesce(1).write.mode("append").parquet(inp)
+    stream_route(spark, inp, out, synth.source_meta(spark)).awaitTermination(180)
+    # the new batch 0 (both files) must have been PROCESSED, not skipped:
+    # its overwrite of batch_id=0 leaves all 400 docs in the sink
+    assert spark.read.parquet(os.path.join(out, "seq_features")).count() == 400
+    manifest = [json.loads(l) for l in open(os.path.join(out, "stream_manifest.jsonl"))]
+    committed = [m for m in manifest if m.get("committed")]
+    assert len(committed) == 2  # first run + re-processed new batch 0
+    assert committed[0]["identity"] != committed[1]["identity"]
+
+
+# ------------------------------------------------- vocabulary consistency
+
+def test_vocabulary_paths_agree(spark):
+    from sparklead.pipeline import parse_stage, token_vectors, vocabulary, vocabulary_from_vectors
+
+    pt = parse_stage(synth.pretokenized(spark, 500))
+    direct = {r["token"]: (r["freq"], r["n_docs"]) for r in vocabulary(pt).collect()}
+    staged = {
+        r["token"]: (r["freq"], r["n_docs"])
+        for r in vocabulary_from_vectors(token_vectors(pt)).collect()
+    }
+    assert direct == staged
+
+
+# ------------------------------------------------- pl_iplom FST without count
+
+def test_pl_iplom_outlier_threshold_still_exact(tokenized):
+    """The FST denominator now comes from the sizes aggregate (no extra
+    count job); outlier flags must match the explicit-total computation."""
+    from sparklead.mining.pl_iplom import pl_iplom_templates
+
+    t = pl_iplom_templates(tokenized, "e_words", support_threshold=0.01)
+    rows = t.select("part_key", "part_len", "is_outlier").collect()
+    total = sum(r["part_len"] for r in rows)
+    for r in rows:
+        assert r["is_outlier"] == (r["part_len"] / total < 0.01)
