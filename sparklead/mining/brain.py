@@ -21,11 +21,15 @@ vectorizable'):
   3. template per cluster: position-wise countDistinct==1 ? first : '<*>'
      — same aggregate as PL-IPLoM.
 
-Divergence from the reference: Brain's child-split recursion (its step 3+)
-refines clusters further down the frequency ladder; on machine logs the
-(length, root-pattern) grouping already recovers the template set, and the
-recursion is a driver loop that does not distribute. Parity contract is
-cluster count/size distribution, as with Drain (SURVEY.md §7).
+Refinement parity (round 3): the reference's down_split child refinement
+(Brain.py:331-374) is the ``threshold`` parameter — positions with fewer
+than ``threshold`` distinct tokens stay constant and child-split the
+cluster (one extra agg + broadcast join, no driver loop; default 2 ==
+reference default == the plain constant/wildcard rule). The partial-
+constant digit-exclusion and post-mask template merge (_output_result,
+Brain.py:376-408) are implemented, giving EXACT template + cluster-size
+parity with the runnable reference on the golden corpus
+(tests/test_iplom_parity.py::test_brain_granularity_vs_reference).
 """
 
 from __future__ import annotations
@@ -39,8 +43,23 @@ def parse_brain(
     df: DataFrame,
     tokens_col: str = "e_words",
     out_col: str = "e_event_brain_id",
+    threshold: int = 2,
+    exclude_digits: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """Assign Brain template ids; returns (df + out_col, template table)."""
+    """Assign Brain template ids; returns (df + out_col, template table).
+
+    ``threshold`` is the reference's down_split threshold (Brain.py:331-374,
+    default 2): a non-root position with fewer than ``threshold`` distinct
+    tokens inside a cluster KEEPS its tokens as constants — rows that differ
+    there form DIFFERENT final templates, i.e. the cluster child-splits.
+    With the default 2 this degenerates to the plain constant/wildcard rule
+    (>=2 distinct -> variable), matching the reference's default behavior.
+
+    ``exclude_digits`` is the reference's partial-constant rule
+    (Brain.py:376-408 _output_result/_exclude_digits): constant template
+    tokens containing a digit are masked to '<*>' in the FINAL template, and
+    clusters whose masked templates coincide merge — the reference keys its
+    template_set on the post-mask template tuple."""
     base = df.withColumn("_len", F.size(tokens_col))
     pos = base.select("_len", F.posexplode(tokens_col).alias("pos", "tok"))
     freqs = pos.groupBy("_len", "pos", "tok").agg(F.count(F.lit(1)).alias("freq"))
@@ -73,24 +92,62 @@ def parse_brain(
     keyed = ided.join(roots.select("_rid", "_root"), "_rid").withColumn(
         "_cluster", F.concat_ws("#", F.col("_len").cast("string"), F.col("_root"))
     )
-    # template per cluster: position-wise constant-or-wildcard
+    if threshold > 2:
+        # down_split child refinement: positions with 1 < n_distinct <
+        # threshold stay constant, so the cluster key gains those tokens —
+        # one extra agg + broadcast join, no driver loop
+        nd = (
+            keyed.select("_cluster", F.posexplode(tokens_col).alias("pos", "tok"))
+            .groupBy("_cluster", "pos")
+            .agg(F.countDistinct("tok").alias("nd"))
+        )
+        split_pos = (
+            nd.filter((F.col("nd") > 1) & (F.col("nd") < threshold))
+            .groupBy("_cluster")
+            .agg(F.array_sort(F.collect_list("pos")).alias("_sp"))
+        )
+        keyed = keyed.join(broadcast(split_pos), "_cluster", "left").withColumn(
+            "_cluster",
+            F.when(
+                F.col("_sp").isNotNull(),
+                F.concat(
+                    F.col("_cluster"),
+                    F.lit("|c:"),
+                    F.concat_ws(
+                        "#", F.transform(F.col("_sp"), lambda p: F.element_at(F.col(tokens_col), p + 1))
+                    ),
+                ),
+            ).otherwise(F.col("_cluster")),
+        ).drop("_sp")
+    # template per cluster: position-wise constant-or-wildcard; constants
+    # containing digits mask to '<*>' (partial-constant rule) when enabled
+    t_expr = F.when(F.countDistinct("tok") == 1, F.first("tok")).otherwise(F.lit("<*>"))
     per_pos = (
         keyed.select("_cluster", F.posexplode(tokens_col).alias("pos", "tok"))
         .groupBy("_cluster", "pos")
-        .agg(F.when(F.countDistinct("tok") == 1, F.first("tok")).otherwise(F.lit("<*>")).alias("t"))
+        .agg(t_expr.alias("t"))
     )
-    templates = (
-        per_pos.groupBy("_cluster")
-        .agg(
-            F.concat_ws(
-                " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "t"))), lambda s: s["t"])
-            ).alias("template")
+    if exclude_digits:
+        per_pos = per_pos.withColumn(
+            "t", F.when(F.col("t").rlike(r"\d"), F.lit("<*>")).otherwise(F.col("t"))
         )
-        .withColumn("template_id", F.concat(F.lit("e"), F.substring(F.md5("template"), 1, 8)))
+    cluster_templates = per_pos.groupBy("_cluster").agg(
+        F.concat_ws(
+            " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "t"))), lambda s: s["t"])
+        ).alias("template")
+    )
+    # clusters whose (post-mask) templates coincide MERGE — the reference
+    # keys template_set by the final template tuple (Brain.py:395-397)
+    mapping = cluster_templates.withColumn(
+        "template_id", F.concat(F.lit("e"), F.substring(F.md5("template"), 1, 8))
     )
     sizes = keyed.groupBy("_cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
-    template_table = templates.join(sizes, "_cluster")
+    template_table = (
+        mapping.join(sizes, "_cluster")
+        .groupBy("template_id", "template")
+        .agg(F.sum("cluster_size").alias("cluster_size"))
+    )
     assigned = keyed.join(
-        broadcast(templates.select("_cluster", F.col("template_id").alias(out_col))), "_cluster", "left"
+        broadcast(mapping.select("_cluster", F.col("template_id").alias(out_col))), "_cluster", "left"
     ).drop("_cluster", "_root", "_rid", "_len")
     return assigned, template_table.select("template_id", "template", "cluster_size")

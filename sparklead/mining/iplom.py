@@ -317,8 +317,12 @@ def iplom_templates(
         .withColumn("template_id", F.concat(F.lit("e"), F.substring(F.md5("template"), 1, 8)))
     )
     if pst > 0:
-        total = base.count()
-        out = out.withColumn("is_outlier", F.col("part_len") / F.lit(float(total)) < pst)
+        # PST denominator from the sizes aggregate itself (unbounded window
+        # over the template-sized frame), not a count() job over the data
+        from pyspark.sql import Window
+
+        total = F.sum("part_len").over(Window.partitionBy())
+        out = out.withColumn("is_outlier", F.col("part_len") / total.cast("double") < pst)
     return out.select("template_id", "template", "part_len", *(["is_outlier"] if pst > 0 else []))
 
 

@@ -15,10 +15,12 @@ over partitions = iterative groupBy on derived keys"):
     ONE aggregation + ONE broadcast join;
   * S2 rounds iterate a fixed number of times (the reference's recursion
     depth is bounded by token count anyway);
-  * S3 (bijection) is intentionally not replicated — S1 + iterated S2 already
-    yields the reference's cluster granularity on machine logs, and bijection
-    adds a per-pair driver loop that does not distribute; parity contract is
-    cluster count/size distribution, as with Drain.
+  * S3 (bijection, pl_iplom.py:318-440 in the reference) is available via
+    ``bijection=True``: it chains the SAME relational bijection round the
+    original-IPLoM port uses (mining/iplom.py:_step3 — no per-pair driver
+    loop; pair-relation stats are two hash aggs). Default off because
+    S1 + iterated S2 already yields the reference's cluster granularity on
+    machine logs and is what the golden tests pin.
 
 Everything is groupBy/join — the whole miner is ~4 shuffles per round,
 independent of partition count, and scales with data size not cluster count.
@@ -62,11 +64,32 @@ def _split_round(base: DataFrame, tokens_col: str, round_id: int) -> DataFrame:
     return out.drop("split_pos")
 
 
-def _keyed(df: DataFrame, tokens_col: str, rounds: int) -> DataFrame:
-    """Attach the final part_key to every row (S1 + ``rounds`` S2 rounds)."""
+def _keyed(
+    df: DataFrame,
+    tokens_col: str,
+    rounds: int,
+    bijection: bool = False,
+    ct: float = 0.35,
+    lower: float = 0.25,
+) -> DataFrame:
+    """Attach the final part_key to every row (S1 + ``rounds`` S2 rounds,
+    optionally followed by the S3 bijection split).
+
+    ``bijection=True`` chains the SAME relational bijection round the
+    original-IPLoM implementation uses (mining/iplom.py:_step3 — pair-relation
+    stats from two hash aggs, 1-1/1-M/M-1/M-M case analysis as a when-chain;
+    the reference PL-IPLoM runs S3 unconditionally, pl_iplom.py:318-440).
+    Default off: the iterated-S2 granularity is this miner's documented
+    contract and what the golden tests pin; turn it on for reference-exact
+    S1+S2+S3 staging."""
     base = df.withColumn("part_key", F.concat(F.lit("S1:"), F.size(tokens_col).cast("string")))
     for r in range(rounds):
         base = _split_round(base, tokens_col, r + 2)
+    if bijection:
+        from sparklead.mining.iplom import _step3
+
+        base = base.withColumn("_split2", F.col("part_key").contains("|s"))
+        base = _step3(base, tokens_col, ct, lower, 0.9).drop("_split2")
     return base
 
 
@@ -76,6 +99,7 @@ def pl_iplom_templates(
     rounds: int = 2,
     support_threshold: float = 0.0001,
     _keyed_df: DataFrame | None = None,
+    bijection: bool = False,
 ) -> DataFrame:
     """Mine templates: returns (part_key, template, template_id, part_len, is_outlier).
 
@@ -83,7 +107,7 @@ def pl_iplom_templates(
     ``is_outlier`` marks partitions under the file-support threshold (FST,
     pl_iplom.py:232-242). template_id = md5(template)[:8] prefixed 'e'.
     """
-    base = _keyed_df if _keyed_df is not None else _keyed(df.select(tokens_col), tokens_col, rounds)
+    base = _keyed_df if _keyed_df is not None else _keyed(df.select(tokens_col), tokens_col, rounds, bijection)
     per_pos = (
         base.select("part_key", F.posexplode(tokens_col).alias("pos", "tok"))
         .groupBy("part_key", "pos")
@@ -119,6 +143,7 @@ def parse_pl_iplom(
     out_col: str = "e_event_pliplom_id",
     rounds: int = 2,
     support_threshold: float = 0.0001,
+    bijection: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Assign each event its PL-IPLoM template id; returns (df+id, template table).
 
@@ -126,7 +151,7 @@ def parse_pl_iplom(
     key is a deterministic function of its own tokens, so we recompute the
     key per row (narrow) and join the (small, broadcast) template table.
     """
-    keyed = _keyed(df, tokens_col, rounds).cache()
+    keyed = _keyed(df, tokens_col, rounds, bijection).cache()
     templates = pl_iplom_templates(df, tokens_col, rounds, support_threshold, _keyed_df=keyed)
     assigned = keyed.join(
         broadcast(templates.select("part_key", F.col("template_id").alias(out_col))), "part_key", "left"

@@ -56,9 +56,9 @@ def test_iplom_matches_reference_templates(spark, token_streams, tmp_path):
 def test_brain_granularity_vs_reference(spark, token_streams, tmp_path):
     """Brain parity evidence: run the REFERENCE BrainParser (pure Python once
     its polars-only result formatter is bypassed) on the same token streams
-    and compare cluster count + size distribution against sparklead's
-    relational Brain (which omits the child-split recursion — declared
-    divergence, mining/brain.py:21-24)."""
+    and compare against sparklead's relational Brain — exact template-string
+    and cluster-size equality (the digit-exclusion partial-constant rule and
+    post-mask template merge closed the last round's small delta)."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -83,15 +83,15 @@ def test_brain_granularity_vs_reference(spark, token_streams, tmp_path):
         [(t, " ".join(t)) for t in token_streams], "e_words array<string>, e_message_normalized string"
     )
     _, templates = parse_brain(df, "e_words")
-    my_sizes = sorted(r["cluster_size"] for r in templates.collect())
+    mine = templates.collect()
+    my_sizes = sorted(r["cluster_size"] for r in mine)
 
     assert sum(my_sizes) == sum(ref_sizes) == 2000  # full coverage both sides
-    # granularity: without the child-split recursion the relational Brain
-    # assigns a handful of marginal rows differently; bound the measured
-    # delta (observed: cluster count equal, top-8 sizes shift by <=5 rows)
-    assert abs(len(my_sizes) - len(ref_sizes)) <= 2
-    # the dominant clusters (the 8 golden templates) agree within 2% mass
-    assert sum(abs(a - b) for a, b in zip(my_sizes[-8:], ref_sizes[-8:])) <= 40
+    # EXACT parity (round 3): with the reference's digit-exclusion partial-
+    # constant rule + post-mask template merge implemented, cluster count,
+    # every cluster size, AND every template string match the reference
+    assert my_sizes == ref_sizes
+    assert sorted(r["template"] for r in mine) == sorted(" ".join(k) for k in captured.keys())
 
 
 def test_pl_iplom_granularity_delta_documented(spark, token_streams, tmp_path):

@@ -109,6 +109,22 @@ def test_brain_degrades_to_shuffle_join_without_oom(spark, tokenized):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
 
+def test_brain_child_split_threshold(spark):
+    """down_split semantics (Brain.py:331-374): a non-root position with 2
+    distinct tokens is variable at the default threshold=2 (one merged
+    template) but stays constant at threshold=3 — the cluster child-splits
+    into one template per kept token."""
+    from sparklead.mining.brain import parse_brain
+
+    rows = [(["job", "start", f"mode{i % 2}", f"id{i}"],) for i in range(20)]
+    df = spark.createDataFrame(rows, "e_words array<string>")
+    merged = parse_brain(df, "e_words", exclude_digits=False)[1].collect()
+    assert {r["template"] for r in merged} == {"job start <*> <*>"}
+    split = parse_brain(df, "e_words", threshold=3, exclude_digits=False)[1].collect()
+    assert {r["template"] for r in split} == {"job start mode0 <*>", "job start mode1 <*>"}
+    assert sorted(r["cluster_size"] for r in split) == [10, 10]
+
+
 # ------------------------------------------------- single-scan IVF
 
 def test_ivf_topk_single_scan_no_smj(spark, sf_dir):
@@ -245,6 +261,26 @@ def test_stream_replay_detects_new_batch_zero(spark, tmp_path):
     committed = [m for m in manifest if m.get("committed")]
     assert len(committed) == 2  # first run + re-processed new batch 0
     assert committed[0]["identity"] != committed[1]["identity"]
+
+
+# ------------------------------------------------- PL-IPLoM bijection (S3)
+
+def test_pl_iplom_bijection_splits_shared_length(spark):
+    """With bijection=True, PL-IPLoM chains the relational S3 round (reused
+    from mining/iplom.py) — the same shared-token-count fixture the original
+    IPLoM splits must now split here too; with the default (bijection=False)
+    the fixture stays merged, pinning the declared S1+S2 contract."""
+    from sparklead.mining.pl_iplom import pl_iplom_templates
+
+    rows = []
+    for i in range(12):
+        rows.append((["open", f"c{i % 2}", f"host{i % 4}", f"s{i % 3}", "ok"],))
+        rows.append((["drop", f"c{i % 2}", f"peer{i % 4}", f"s{i % 3}", "ok"],))
+    df = spark.createDataFrame(rows, "e_words array<string>")
+    with_s3 = {r["template"] for r in pl_iplom_templates(df, "e_words", bijection=True).collect()}
+    assert with_s3 == {"open <*> <*> <*> ok", "drop <*> <*> <*> ok"}
+    without = {r["template"] for r in pl_iplom_templates(df, "e_words").collect()}
+    assert without == {"<*> <*> <*> <*> ok"}
 
 
 # ------------------------------------------------- vocabulary consistency
