@@ -879,7 +879,16 @@ def _q_ad_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = seq.withColumn("anomaly", F.exists("events", lambda e: e == F.lit(exc)))
     tr, te = train_test_split(seq, 0.5)
     det = AnomalyDetector(SeqFeaturizer(item_col="events", numeric_cols=("seq_len",))).train(tr, "LR")
-    return det.predict(te).select("seq_id", "pred_ano")
+    # self-certifying rows-only entry: every row carries the test-set size
+    # and the positive-prediction total, so model drift is visible across
+    # rounds even without a value hash
+    w = Window.partitionBy(F.lit(1))
+    return (
+        det.predict(te)
+        .select("seq_id", "pred_ano")
+        .withColumn("n_test", F.count(F.lit(1)).over(w))
+        .withColumn("n_pred_ano", F.sum("pred_ano").over(w))
+    )
 
 
 def _q_streaming_route(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -160,6 +160,38 @@ def stream_running_source_stats(
     return writer.start()
 
 
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double",
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Streaming exact-dedup: keep the first arrival of each key, dropping
+    re-deliveries that arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` is the streaming twin of the batch
+    ``exact_dedup`` (dedup.py:34): state is bounded by the watermark (keys
+    expire once the event-time watermark passes them), so the operator runs
+    indefinitely on an at-least-once source — the batch reference has no
+    analogue (SURVEY.md §2.11). Use a content hash as the key column for
+    payload-identity dedup."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "deduped"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_window_counts(
     spark: SparkSession,
     input_dir: str,

@@ -283,6 +283,23 @@ def test_pl_iplom_bijection_splits_shared_length(spark):
     assert without == {"<*> <*> <*> <*> ok"}
 
 
+# ------------------------------------------------- streaming dedup
+
+def test_stream_dedup_drops_redeliveries(spark, tmp_path, sf_dir):
+    """dropDuplicatesWithinWatermark keeps one arrival per key: feed every
+    event TWICE (at-least-once delivery), expect exactly the distinct set."""
+    from sparklead.streaming import stream_dedup
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+    ev.coalesce(1).write.mode("append").parquet(inp)
+    ev.coalesce(1).write.mode("append").parquet(inp)  # duplicate delivery
+    stream_dedup(spark, inp, out).awaitTermination(180)
+    got = spark.read.parquet(os.path.join(out, "deduped"))
+    assert got.count() == 500
+    assert got.select("event_id").distinct().count() == 500
+
+
 # ------------------------------------------------- vocabulary consistency
 
 def test_vocabulary_paths_agree(spark):

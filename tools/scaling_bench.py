@@ -180,8 +180,17 @@ def main() -> None:
         "Per-sink rows (all runs identical): " + json.dumps(r_hi["sink_rows"]),
         "",
     ]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write("\n".join(md))
+    # preserve manually-maintained sections (cluster evidence, per-round
+    # measurement notes) that follow the auto-generated scaling tables
+    bench_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_path):
+        existing = open(bench_path).read()
+        idx = existing.find("## Multi-executor cluster evidence")
+        if idx != -1:
+            tail = existing[idx:]
+    with open(bench_path, "w") as f:
+        f.write("\n".join(md) + tail)
 
 
 if __name__ == "__main__":
