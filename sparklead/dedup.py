@@ -246,6 +246,89 @@ def simhash_dedup(df: DataFrame, tokens_col: str, key_col: str = "doc_id") -> Da
     )
 
 
+# ------------------------------------------------------------------ components
+
+def neardup_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate GROUPS: (id, component).
+
+    Pairwise output (minhash_candidates / jaccard_verify /
+    embedding_neardup) is not yet a dedup decision — a~b and b~c must
+    collapse into ONE keep-group {a,b,c}. Component label = the minimum id
+    reachable through the pair graph, computed by iterative label
+    propagation (the standard Spark connected-components loop):
+
+      label(v) <- min(label(v), min over neighbors u of label(u))
+
+    Each round is one join + one agg over the EDGE list (never all-pairs);
+    rounds needed = graph diameter (near-dup graphs are shallow star-like
+    clusters, 2-4 rounds in practice; ``max_iter`` bounds adversarial
+    chains). Each iteration's result is persisted and the loop EXITS EARLY
+    when no label changes — convergence is checked with a count over the
+    (vertex-sized, not edge-sized) label frame. Deterministic: min() over
+    ids, no arrival-order dependence.
+
+    The caller dedups with: keep id == component (the min-id representative),
+    drop the rest — the distributed analogue of exact_dedup's min(key).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        # neighbor minimum: propagate each vertex's label across its edges
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+            .groupBy("id")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select("id", F.least("component", F.coalesce("_nbr", "component")).alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "_old"), "id")
+            .filter(F.col("component") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """End-to-end near-dedup decision: keep one representative per connected
+    near-duplicate group (the min-id member), pass through all unpaired rows.
+    Anti-join on the drop-list keeps the plan one edge-sized join against
+    the fact table."""
+    comps = neardup_components(pairs, a_col, b_col)
+    drops = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(key_col)
+    )
+    return df.join(drops, key_col, "left_anti")
+
+
 # ------------------------------------------------------------------ embedding near-dup
 
 def embedding_neardup_candidates(

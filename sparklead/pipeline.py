@@ -73,13 +73,18 @@ def seq_features(df: DataFrame) -> DataFrame:
     )
 
 
-def token_vectors(df: DataFrame) -> DataFrame:
+def token_vectors(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-sequence event-count vector (north star: 'event-count vectors').
 
     Sparse form: sorted distinct tokens + their per-doc counts, plus the
     64-bit SimHash dedup signature. Pure HOFs — CPU-heavy per row (O(L*D)
     count fold + O(64L) simhash) but zero shuffle; this is the sink a
     CountVectorizer-based detector consumes.
+
+    ``keep`` carries extra (scalar) input columns through — the staged
+    pipeline passes the seq_features scalars so ONE scan of the raw input
+    produces the combined sink and every other sink derives from it
+    (parquet column pruning makes the narrow re-reads nearly free).
     """
     from sparklead.dedup import with_simhash
 
@@ -104,6 +109,7 @@ def token_vectors(df: DataFrame) -> DataFrame:
     return staged.select(
         "doc_id",
         "source",
+        *keep,
         F.transform("_starts", lambda i: F.element_at(F.col("_s"), i)).alias("vocab"),
         F.zip_with(next_starts, F.col("_starts"), lambda b, a: b - a).alias("counts"),
         "simhash",
@@ -182,28 +188,49 @@ def run_pipeline(
     """
     t0 = time.time()
     enriched = enrich_stage(parse_stage(df), source_meta)
-    primary = {"seq_features": lambda: seq_features(enriched)}
-    if detector_sinks:
-        primary["token_vectors"] = lambda: token_vectors(enriched)
+    seq_cols = (
+        "label", "region", "template_id", "n_tok", "n_distinct_tok",
+        "first_tok", "last_tok", "n_tok_ok",
+    )
     out: dict = {"sinks": {}}
     if out_dir is None:
-        out["sinks"] = {k: v() for k, v in primary.items()} | {
+        out["sinks"] = {"seq_features": seq_features(enriched)} | {
             "template_counts": template_counts(enriched),
             "source_agg": source_agg(enriched),
         }
         if detector_sinks:
+            out["sinks"]["token_vectors"] = token_vectors(enriched)
             out["sinks"]["vocabulary"] = vocabulary(enriched)
     else:
-        # Staged materialization: the raw input (with its wide token arrays)
-        # is scanned once per detector sink, then every downstream sink reads
-        # a routed table — the right lineage at 100 TB: rollups derive from
-        # seq_features (narrow, token-free), the vocabulary derives from
-        # token_vectors (per-doc-distinct already computed), and the raw
-        # input is scanned exactly twice instead of three times.
+        # Staged materialization, ONE scan of the raw input (round-3 layout):
+        # token_vectors carries the seq_features scalars through (``keep``),
+        # so the single expensive pass (parse + enrich + per-token hashing +
+        # simhash) writes the combined sink, and EVERY other sink derives
+        # from routed tables — seq_features is a narrow projection (parquet
+        # column pruning skips the wide vocab/counts columns entirely),
+        # rollups read seq_features, the vocabulary reads the per-doc-
+        # distinct vectors. The round-2 layout scanned the raw input twice;
+        # at 100 TB one full parse of the token arrays is the dominant cost
+        # and this halves it.
         import os
 
         spark = df.sparkSession
-        m1 = routing.route(primary, out_dir, resume=resume)
+        if detector_sinks:
+            m1 = routing.route(
+                {"token_vectors": lambda: token_vectors(enriched, keep=seq_cols)},
+                out_dir,
+                resume=resume,
+            )
+            tv = spark.read.parquet(os.path.join(out_dir, "token_vectors"))
+            m1 |= routing.route(
+                {"seq_features": lambda: tv.select("doc_id", "source", *seq_cols)},
+                out_dir,
+                resume=resume,
+            )
+        else:
+            m1 = routing.route(
+                {"seq_features": lambda: seq_features(enriched)}, out_dir, resume=resume
+            )
         feats = spark.read.parquet(os.path.join(out_dir, "seq_features"))
         stage2 = {
             "template_counts": lambda: template_counts(feats),

@@ -283,6 +283,41 @@ def test_pl_iplom_bijection_splits_shared_length(spark):
     assert without == {"<*> <*> <*> <*> ok"}
 
 
+# ------------------------------------------------- near-dup components
+
+def test_neardup_components_chain_and_star(spark):
+    """a~b, b~c chains and star clusters must each collapse to ONE component
+    labeled by their minimum id, converging before max_iter."""
+    from sparklead.dedup import neardup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),            # chain -> component 1
+         (10, 11), (10, 12), (10, 13),      # star  -> component 10
+         (20, 21)],                          # pair  -> component 20
+        "a_id long, b_id long",
+    )
+    comp = {r["id"]: r["component"] for r in neardup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_dedup_by_components_end_to_end(spark):
+    """Full near-dedup decision: minhash candidates -> jaccard verify ->
+    components -> keep min-id per group + every unpaired doc."""
+    from sparklead.dedup import dedup_by_components, jaccard_verify, minhash_candidates
+
+    base = [(i, f"the quick brown fox jumps over dog number {i} " * 3) for i in range(10)]
+    dups = [(100 + i, t + " extra") for i, t in base if i % 2 == 0]  # near-dups of evens
+    df = spark.createDataFrame(base + dups, "doc_id long, text string")
+    cand = minhash_candidates(df, bands=8, num_hashes=16)
+    pairs = jaccard_verify(df, cand, threshold=0.5)
+    kept = dedup_by_components(df, pairs)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # every odd (unpaired) doc survives; each near-dup pair keeps only doc_id=i
+    assert all(i in kept_ids for i in range(1, 10, 2))
+    for i in range(0, 10, 2):
+        assert i in kept_ids and (100 + i) not in kept_ids
+
+
 # ------------------------------------------------- streaming dedup
 
 def test_stream_dedup_drops_redeliveries(spark, tmp_path, sf_dir):
