@@ -142,5 +142,12 @@ def fingerprint_fast(df: DataFrame, text_col: str = "text", shingle_k: int = 8, 
         F.sequence(F.lit(1), F.greatest(F.length(t) - (shingle_k - 1), F.lit(1))),
         lambda i: F.xxhash64(t.substr(i, F.lit(shingle_k))),
     )
+    # reference `smallest` exactly ONCE (array_join over a transform) rather
+    # than keep× getItem: projection-level subexpression elimination would
+    # usually rescue the repeated form (measured: no runtime difference),
+    # but the single-reference plan is smaller and doesn't depend on it
     smallest = F.slice(F.array_sort(shingles), 1, keep)
-    return df.withColumn("fingerprint", F.xxhash64(F.concat_ws(",", *[smallest.getItem(i) for i in range(keep)])))
+    return df.withColumn(
+        "fingerprint",
+        F.xxhash64(F.array_join(F.transform(smallest, lambda x: x.cast("string")), ",")),
+    )
