@@ -351,13 +351,21 @@ def embedding_neardup_candidates(
     any corpus size, never O((n/256)^2). Only (id, band-key) rows go through
     the shuffle; embeddings are joined back per-candidate by the verifier.
     """
-    from sparklead.similarity import signbucket_expr
+    from sparklead.similarity import plane_weights, signbucket_expr
 
+    # plane weights as array LITERALS: one driver-side job over
+    # n_bands*planes_per_band x dim rows replaces per-row hashing of the
+    # same constants (see plane_weights). dim probes a single row.
+    dim_row = df.select(F.size(emb_col).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    w = plane_weights(df.sparkSession, list(range(n_bands * planes_per_band)), dim) if dim else None
     keys = F.array(
         *[
             F.concat(
                 F.lit(f"{b}:"),
-                signbucket_expr(F.col(emb_col), planes_per_band, plane_offset=b * planes_per_band).cast("string"),
+                signbucket_expr(
+                    F.col(emb_col), planes_per_band, plane_offset=b * planes_per_band, weights=w
+                ).cast("string"),
             )
             for b in range(n_bands)
         ]

@@ -31,16 +31,64 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
-def signbucket_expr(v: Column, n_planes: int = 8, dim: int | None = None, plane_offset: int = 0) -> Column:
+def plane_weights(spark, planes: list[int], dim: int) -> dict[int, list[float]]:
+    """Materialize the deterministic hyperplane weights ONCE on the driver.
+
+    Weight(p, d) = centered uniform hash of (p, d) — the same formula
+    ``signbucket_expr`` evaluates inline, computed here by one tiny Spark
+    job over |planes| x dim rows (identical values, since it runs the same
+    JVM xxhash64). Callers embed the result as array literals so the
+    per-row bucket expression does pure multiply-adds: the inline form
+    re-hashes every (plane, dim) constant for EVERY row — at 10^9 vectors
+    x 64 planes x 64 dims that is 4x10^12 hashes of constants (round-3
+    self-audit fix)."""
+    from pyspark.sql import functions as _F
+
+    pd_rows = spark.createDataFrame(
+        [(p, d) for p in planes for d in range(dim)], "p int, d int"
+    )
+    w = pd_rows.select(
+        "p",
+        "d",
+        (
+            (_F.pmod(_F.xxhash64(_F.col("p").cast("string"), _F.col("d").cast("string")), _F.lit(2001)) - 1000
+             ).cast("double") / 1000.0
+        ).alias("w"),
+    ).collect()
+    out: dict[int, list[float]] = {p: [0.0] * dim for p in planes}
+    for r in w:
+        out[r["p"]][r["d"]] = r["w"]
+    return out
+
+
+def signbucket_expr(
+    v: Column,
+    n_planes: int = 8,
+    dim: int | None = None,
+    plane_offset: int = 0,
+    weights: dict[int, list[float]] | None = None,
+) -> Column:
     """Sign-LSH bucket id from deterministic pseudo-random hyperplanes.
 
     Plane p's weight for dimension d = centered uniform hash of (p, d) —
     reproducible on any engine, no stored model. Returns a bigint bucket.
     ``plane_offset`` shifts the plane ids so multi-band callers (banded
     sign-LSH, dedup.embedding_neardup) get INDEPENDENT plane sets per band.
+
+    With ``weights`` (from ``plane_weights``) the plane dot is a zip_with
+    against an array LITERAL — no per-row hashing of constants; values are
+    identical to the inline form. The inline form remains the zero-setup,
+    engine-portable default for small inputs.
     """
     def plane_dot(p: int) -> Column:
         p = p + plane_offset
+        if weights is not None:
+            wlit = F.array(*[F.lit(float(x)) for x in weights[p]])
+            return F.aggregate(
+                F.zip_with(v, wlit, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         return F.aggregate(
             F.zip_with(
                 v,
@@ -100,11 +148,17 @@ def lsh_topk(
     multi-probe or multiple tables — this single-table variant keeps the
     plan one equi-join + one window.
     """
+    dim_row = corpus.select(F.size(emb_col).alias("d")).first()
+    w = plane_weights(corpus.sparkSession, list(range(n_planes)), int(dim_row["d"])) if dim_row else None
     q = queries.select(
-        F.col(key_col).alias("query_id"), F.col(emb_col).alias("qv"), signbucket_expr(F.col(emb_col), n_planes).alias("bucket")
+        F.col(key_col).alias("query_id"),
+        F.col(emb_col).alias("qv"),
+        signbucket_expr(F.col(emb_col), n_planes, weights=w).alias("bucket"),
     )
     c = corpus.select(
-        F.col(key_col).alias("neighbor_id"), F.col(emb_col).alias("cv"), signbucket_expr(F.col(emb_col), n_planes).alias("bucket")
+        F.col(key_col).alias("neighbor_id"),
+        F.col(emb_col).alias("cv"),
+        signbucket_expr(F.col(emb_col), n_planes, weights=w).alias("bucket"),
     )
     scored = (
         c.join(broadcast(q), "bucket")

@@ -283,6 +283,23 @@ def test_pl_iplom_bijection_splits_shared_length(spark):
     assert without == {"<*> <*> <*> <*> ok"}
 
 
+def test_signbucket_literal_weights_match_inline(spark, sf_dir):
+    """The literal-weight plane-dot path (no per-row hashing of constants)
+    must produce bucket-for-bucket identical values to the inline form —
+    including with a plane_offset, the multi-band case."""
+    from sparklead.similarity import plane_weights, signbucket_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    dim = len(emb.first()["embedding"])
+    w = plane_weights(spark, list(range(32)), dim)
+    for off in (0, 16):
+        cmp = emb.select(
+            signbucket_expr(F.col("embedding"), 16, plane_offset=off).alias("a"),
+            signbucket_expr(F.col("embedding"), 16, plane_offset=off, weights=w).alias("b"),
+        )
+        assert cmp.filter(F.col("a") != F.col("b")).count() == 0
+
+
 # ------------------------------------------------- near-dup components
 
 def test_neardup_components_chain_and_star(spark):
