@@ -283,6 +283,27 @@ def test_pl_iplom_bijection_splits_shared_length(spark):
     assert without == {"<*> <*> <*> <*> ok"}
 
 
+def test_minhash_fast_lane_finds_seeded_near_dups(spark):
+    """The xxhash64 long-signature lane must recall the same seeded
+    near-dup pairs the md5 lane does, end-to-end through banding + verify."""
+    from sparklead.dedup import jaccard_verify, minhash_candidates
+
+    base = [
+        (i, " ".join(f"w{(i * 17 + j * 5) % 997}" for j in range(12)))
+        for i in range(30)
+    ]
+    near = [(100 + i, t + " tail") for i, t in base if i % 3 == 0]
+    df = spark.createDataFrame(base + near, "doc_id long, text string")
+    expected = {(i, 100 + i) for i in range(0, 30, 3)}
+    for fast in (False, True):
+        cand = minhash_candidates(df, bands=8, num_hashes=16, fast=fast)
+        pairs = {
+            (r["a_id"], r["b_id"])
+            for r in jaccard_verify(df, cand, threshold=0.5).collect()
+        }
+        assert pairs == expected, f"fast={fast}"
+
+
 def test_signbucket_literal_weights_match_inline(spark, sf_dir):
     """The literal-weight plane-dot path (no per-row hashing of constants)
     must produce bucket-for-bucket identical values to the inline form —
