@@ -95,9 +95,10 @@ def test_brain_granularity_vs_reference(spark, token_streams, tmp_path):
 
 
 def test_pl_iplom_granularity_delta_documented(spark, token_streams, tmp_path):
-    """PL-IPLoM omits S3 (declared divergence, mining/pl_iplom.py:18-21);
-    the measured granularity delta vs the reference must stay small on the
-    golden corpus."""
+    """PL-IPLoM's default S1+S2 staging stays within a small granularity
+    delta of the reference on the golden corpus; chaining the S3 bijection
+    round (bijection=True, round 3) recovers the reference's cluster count
+    EXACTLY."""
     from sparklead.mining.pl_iplom import pl_iplom_templates
 
     ref = _load_reference(tmp_path)
@@ -108,4 +109,5 @@ def test_pl_iplom_granularity_delta_documented(spark, token_streams, tmp_path):
     df = spark.createDataFrame([(t,) for t in token_streams], "e_words array<string>")
     pl_n = pl_iplom_templates(df, "e_words").count()
     assert abs(pl_n - ref_n) <= 2
+    assert pl_iplom_templates(df, "e_words", bijection=True).count() == ref_n
     assert sum(e.eventCount for e in parser.eventsL) == 2000
