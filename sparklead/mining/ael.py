@@ -15,19 +15,20 @@ Spark decomposition:
      but now runs on candidates, not rows). Candidates are sorted
      (count desc, string asc) first so the greedy result is deterministic —
      the reference depends on arrival order.
-  3. assignment = broadcast join of the (candidate -> merged template) map
-     back onto events. Zero data-sized shuffles beyond step 1.
+  3. assignment = join of the (candidate -> merged template) map back onto
+     events — unhinted, so Catalyst/AQE broadcasts it when small (the common
+     case) but degrades to a shuffle join instead of OOMing on corpora whose
+     masking leaves the candidate set unbounded. Zero data-sized shuffles
+     beyond step 1 in the common case.
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 WILDCARD = "<*>"
 
@@ -43,9 +44,21 @@ def _mask_expr(column: str, masks: list[str]):
     return expr
 
 
-def _merge_bin(pdf: pd.DataFrame, min_event_count: int, merge_percent: float) -> pd.DataFrame:
-    """Greedy AEL reconcile over one bin's distinct candidates (AEL.py:116-143)."""
+def _merge_bin(
+    pdf: pd.DataFrame, min_event_count: int, merge_percent: float, max_candidates: int = 20_000
+) -> pd.DataFrame:
+    """Greedy AEL reconcile over one bin's distinct candidates (AEL.py:116-143).
+
+    The greedy loop is O(k^2) in the bin's DISTINCT candidate count — fine
+    for masked machine logs (k = a handful), but a degenerate bin (masking
+    failed on a high-cardinality corpus) would hand one Python task an
+    unbounded quadratic loop. ``max_candidates`` bounds it: the top
+    candidates by count get the full greedy merge; the tail maps to itself
+    (identity templates) — deterministic, and the heavy-hitter templates
+    still merge."""
     cands = pdf.sort_values(["cnt", "event_str"], ascending=[False, True]).reset_index(drop=True)
+    tail = cands.iloc[max_candidates:]
+    cands = cands.iloc[:max_candidates]
     events = [{"tokens": s.split(" "), "str": s, "members": [s]} for s in cands["event_str"]]
     if len(events) > min_event_count:
         merged_flags = [False] * len(events)
@@ -74,6 +87,7 @@ def _merge_bin(pdf: pd.DataFrame, min_event_count: int, merge_percent: float) ->
                 out.append((e["str"], tpl))
     else:
         out = [(e["str"], e["str"]) for e in events]
+    out.extend((s, s) for s in tail["event_str"])
     res = pd.DataFrame(out, columns=["event_str", "template"])
     res["template_id"] = res["template"].map(
         lambda t: "e" + hashlib.md5(t.encode("utf-8")).hexdigest()[:8]
@@ -88,6 +102,7 @@ def parse_ael(
     masks: list[str] = DEFAULT_MASKS,
     min_event_count: int = 2,
     merge_percent: float = 1.0,
+    max_candidates: int = 20_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Assign AEL template ids; returns (df + out_col, template table)."""
     masked = df.withColumn("_ael_masked", _mask_expr(column, masks))
@@ -105,7 +120,7 @@ def parse_ael(
     )
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        res = _merge_bin(pdf, min_event_count, merge_percent)
+        res = _merge_bin(pdf, min_event_count, merge_percent, max_candidates)
         res.insert(0, "bin", pdf["_bin"].iloc[0])
         return res
 
@@ -113,9 +128,12 @@ def parse_ael(
         merge, "bin string, event_str string, template string, template_id string"
     )
     templates = mapping.groupBy("template_id", "template").agg(F.count(F.lit(1)).alias("n_candidates"))
+    # NO forced broadcast on the candidate->template map (same rationale as
+    # Brain's freq join): it is candidate-set-sized, unbounded on corpora
+    # whose masking fails — let Catalyst/AQE pick broadcast when it IS small
     assigned = binned.join(
-        broadcast(mapping.select(F.col("bin").alias("_bin"), F.col("event_str").alias("_ael_masked"),
-                                 F.col("template_id").alias(out_col))),
+        mapping.select(F.col("bin").alias("_bin"), F.col("event_str").alias("_ael_masked"),
+                       F.col("template_id").alias(out_col)),
         ["_bin", "_ael_masked"],
         "left",
     ).drop("_bin", "_ael_masked")

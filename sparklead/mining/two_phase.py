@@ -147,10 +147,17 @@ def _lcs_merge(a: list[str], b: list[str]) -> list[str]:
 
 
 class LocalSpell:
-    """LCS-based streaming clusterer (spell.py tau=0.5 semantics)."""
+    """LCS-based streaming clusterer (spell.py tau=0.5 semantics).
 
-    def __init__(self, tau: float = 0.5):
+    ``max_clusters`` bounds the cluster list (the reference's is unbounded):
+    past the cap a non-matching line folds into its best-LCS cluster
+    regardless of tau — same overflow rule as _LocalDrain, keeping both the
+    per-partition Python state AND the driver's merged intake bounded on
+    high-cardinality corpora."""
+
+    def __init__(self, tau: float = 0.5, max_clusters: int = 4096):
         self.tau = tau
+        self.max_clusters = max_clusters
         self.clusters: list[list] = []  # [template_tokens, count]
 
     def add(self, tokens: list[str], count: int = 1) -> None:
@@ -164,8 +171,16 @@ class LocalSpell:
             merged = _lcs_merge(best[0], tokens)
             best[0] = merged
             best[1] += count
-        else:
+        elif len(self.clusters) < self.max_clusters:
             self.clusters.append([list(tokens), count])
+        else:  # overflow: fold into the closest cluster regardless of tau
+            fallback, fb_len = None, -1
+            for c in self.clusters:
+                l = _lcs_len([t for t in c[0] if t != "<*>"], tokens)
+                if l > fb_len:
+                    fallback, fb_len = c, l
+            fallback[0] = _lcs_merge(fallback[0], tokens)
+            fallback[1] += count
 
     def templates(self) -> list[tuple[list[str], int]]:
         out = [(c[0], c[1]) for c in self.clusters]
@@ -188,10 +203,18 @@ class LocalSpell:
 class LocalLenMa:
     """Word-length-vector cosine clusterer (lenma.py threshold .9 semantics):
     candidates share the token count; similarity is the cosine of the
-    word-length vectors; merged templates wildcard length-conflicting slots."""
+    word-length vectors; merged templates wildcard length-conflicting slots.
 
-    def __init__(self, threshold: float = 0.9):
+    ``max_clusters`` bounds total cluster count (the reference's is
+    unbounded): past the cap a non-matching line folds into its best-cosine
+    same-length cluster regardless of threshold (or opens a new length
+    bucket only if none exists) — bounded state, same rationale as
+    LocalSpell/_LocalDrain."""
+
+    def __init__(self, threshold: float = 0.9, max_clusters: int = 4096):
         self.threshold = threshold
+        self.max_clusters = max_clusters
+        self.n_clusters = 0
         self.by_len: dict[int, list[list]] = {}
 
     @staticmethod
@@ -208,11 +231,14 @@ class LocalLenMa:
             sim = self._cos(c[2], lens)
             if sim > best_sim:
                 best, best_sim = c, sim
-        if best is not None and best_sim >= self.threshold:
+        if best is not None and (best_sim >= self.threshold or self.n_clusters >= self.max_clusters):
             best[0] = [a if a == b else "<*>" for a, b in zip(best[0], tokens)]
             best[1] += count
         else:
+            # below the cap, or first line of a new token length at the cap
+            # (still counts toward it — the state must stay bounded)
             self.by_len.setdefault(len(tokens), []).append([list(tokens), count, lens])
+            self.n_clusters += 1
 
     def templates(self) -> list[tuple[list[str], int]]:
         out = [(c[0], c[1]) for lst in self.by_len.values() for c in lst]

@@ -283,6 +283,44 @@ def test_pl_iplom_bijection_splits_shared_length(spark):
     assert without == {"<*> <*> <*> <*> ok"}
 
 
+# ------------------------------------------------- bounded miner state
+
+def test_spell_lenma_cluster_caps_bound_state():
+    """High-cardinality input must not grow Spell/LenMa state past the cap
+    (the reference's clusterers are unbounded); row mass is preserved by
+    folding overflow into the closest cluster."""
+    from sparklead.mining.two_phase import LocalLenMa, LocalSpell
+
+    spell = LocalSpell(tau=0.99, max_clusters=10)  # tau 0.99 -> nothing matches
+    for i in range(100):
+        spell.add([f"a{i}", f"b{i}", f"c{i}"])
+    assert len(spell.clusters) <= 10
+    assert sum(c for _, c in spell.templates()) == 100
+
+    lenma = LocalLenMa(threshold=1.1, max_clusters=10)  # threshold>1 -> nothing matches
+    for i in range(100):
+        lenma.add([("x" * (i % 7 + 1)), ("y" * (i % 5 + 1)), ("z" * (i % 3 + 1))])
+    assert lenma.n_clusters <= 10
+    assert sum(c for _, c in lenma.templates()) == 100
+
+
+def test_ael_candidate_cap_degrades_to_identity(spark):
+    """Past max_candidates, AEL's per-bin greedy merge covers only the top
+    candidates; the tail maps to itself — every row still gets an id and
+    the quadratic loop stays bounded."""
+    from sparklead.mining.ael import parse_ael
+
+    # letter-only variant tokens: DEFAULT_MASKS would collapse digits
+    rows = [(f"evt kind_{chr(97 + i // 10)}{chr(97 + i % 10)} happened",) for i in range(50)]
+    df = spark.createDataFrame(rows, "m_message string")
+    assigned, templates = parse_ael(df, max_candidates=5)
+    assert assigned.filter(F.col("e_event_ael_id").isNull()).count() == 0
+    tpls = {r["template"] for r in templates.collect()}
+    # top-5 candidates merged into a wildcard template; 45 tail identities
+    assert "evt <*> happened" in tpls
+    assert sum(1 for t in tpls if "<*>" not in t) == 45
+
+
 def test_minhash_fast_lane_finds_seeded_near_dups(spark):
     """The xxhash64 long-signature lane must recall the same seeded
     near-dup pairs the md5 lane does, end-to-end through banding + verify."""
