@@ -36,7 +36,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 
 def parse_brain(
@@ -106,7 +105,7 @@ def parse_brain(
             .groupBy("_cluster")
             .agg(F.array_sort(F.collect_list("pos")).alias("_sp"))
         )
-        keyed = keyed.join(broadcast(split_pos), "_cluster", "left").withColumn(
+        keyed = keyed.join(split_pos, "_cluster", "left").withColumn(
             "_cluster",
             F.when(
                 F.col("_sp").isNotNull(),
@@ -147,7 +146,8 @@ def parse_brain(
         .groupBy("template_id", "template")
         .agg(F.sum("cluster_size").alias("cluster_size"))
     )
+    # cluster-count-sized map, unhinted for the same reason as the freq join
     assigned = keyed.join(
-        broadcast(mapping.select("_cluster", F.col("template_id").alias(out_col))), "_cluster", "left"
+        mapping.select("_cluster", F.col("template_id").alias(out_col)), "_cluster", "left"
     ).drop("_cluster", "_root", "_rid", "_len")
     return assigned, template_table.select("template_id", "template", "cluster_size")

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 
 def _pos_cardinalities(base: DataFrame, tokens_col: str) -> DataFrame:
@@ -61,7 +60,10 @@ def _step2(base: DataFrame, tokens_col: str, step2_support: int) -> DataFrame:
             F.when((F.col("m.d") > 1) & (F.col("n") > step2_support), F.col("m.pos")).alias("split_pos"),
         )
     )
-    out = base.join(broadcast(split_pos), "part_key", "left")
+    # unhinted part_key-sized joins throughout this miner: bounded on
+    # masked logs, unbounded on degenerate corpora — AQE picks broadcast
+    # at runtime when the table is actually small
+    out = base.join(split_pos, "part_key", "left")
     return (
         out.withColumn("_split2", F.col("split_pos").isNotNull())
         .withColumn(
@@ -181,7 +183,7 @@ def _step3(base: DataFrame, tokens_col: str, ct: float, lower: float, upper: flo
     pp_df = spark.createDataFrame(
         [(k, p1, p2) for k, (p1, p2) in p1p2.items()], "part_key string, p1 int, p2 int"
     )
-    with_pp = base.join(broadcast(pp_df), "part_key", "left")
+    with_pp = base.join(pp_df, "part_key", "left")
     t1 = F.element_at(F.col(tokens_col), F.col("p1") + 1)
     t2 = F.element_at(F.col(tokens_col), F.col("p2") + 1)
     pairs = with_pp.filter(F.col("p1").isNotNull()).select(
@@ -240,9 +242,9 @@ def _step3(base: DataFrame, tokens_col: str, ct: float, lower: float, upper: flo
     keyed = (
         with_pp.withColumn("_t1", t1)
         .withColumn("_t2", t2)
-        .join(broadcast(agg1.withColumnRenamed("t1", "_t1")), ["part_key", "_t1"], "left")
-        .join(broadcast(agg2.withColumnRenamed("t2", "_t2")), ["part_key", "_t2"], "left")
-        .join(broadcast(sets), "part_key", "left")
+        .join(agg1.withColumnRenamed("t1", "_t1"), ["part_key", "_t1"], "left")
+        .join(agg2.withColumnRenamed("t2", "_t2"), ["part_key", "_t2"], "left")
+        .join(sets, "part_key", "left")
     )
     # Get_Rank_Posistion (IPLoM.py:525-554): 1-M -> p1 side unless
     # distance<=lower; M-1 -> p1 side only when distance<=lower
@@ -350,7 +352,7 @@ def parse_iplom(
         .withColumn("template_id", F.concat(F.lit("e"), F.substring(F.md5("template"), 1, 8)))
     )
     assigned = keyed.join(
-        broadcast(templates.select("part_key", F.col("template_id").alias(out_col))), "part_key", "left"
+        templates.select("part_key", F.col("template_id").alias(out_col)), "part_key", "left"
     ).drop("part_key")
     sizes = keyed.groupBy("part_key").agg(F.count(F.lit(1)).alias("part_len"))
     return assigned, templates.join(sizes, "part_key").select("template_id", "template", "part_len")

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 
 def _split_round(base: DataFrame, tokens_col: str, round_id: int) -> DataFrame:
@@ -50,7 +49,9 @@ def _split_round(base: DataFrame, tokens_col: str, round_id: int) -> DataFrame:
             F.when(F.col("m.d") > 1, F.col("m.pos")).alias("split_pos"),
         )
     )
-    out = base.join(broadcast(split_pos), "part_key", "left").withColumn(
+    # unhinted: split_pos is part_key-count-sized, which a degenerate
+    # (unmasked) corpus can blow up — AQE still broadcasts it when small
+    out = base.join(split_pos, "part_key", "left").withColumn(
         "part_key",
         F.when(
             F.col("split_pos").isNotNull(),
@@ -154,6 +155,6 @@ def parse_pl_iplom(
     keyed = _keyed(df, tokens_col, rounds, bijection).cache()
     templates = pl_iplom_templates(df, tokens_col, rounds, support_threshold, _keyed_df=keyed)
     assigned = keyed.join(
-        broadcast(templates.select("part_key", F.col("template_id").alias(out_col))), "part_key", "left"
+        templates.select("part_key", F.col("template_id").alias(out_col)), "part_key", "left"
     ).drop("part_key")
     return assigned, templates
