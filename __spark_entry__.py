@@ -973,10 +973,14 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only; self-certifying: every row carries the corpus byte total,
+    so payload/extraction drift is visible without a value hash."""
     from sparklead.multimodal import extract_features, synth_media
 
     media = synth_media(spark, 500)
-    return extract_features(media).select("media_id", "kind", "n_bytes")
+    return extract_features(media).select("media_id", "kind", "n_bytes").withColumn(
+        "total_bytes", F.sum("n_bytes").over(Window.partitionBy(F.lit(1)))
+    )
 
 
 # =====================================================================
