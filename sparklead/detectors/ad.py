@@ -60,11 +60,19 @@ def train_test_split(
         train = df_seq.filter(u >= test_frac)
         test = df_seq.filter(u < test_frac)
     else:
-        from pyspark.sql import Window
-
-        ranked = df_seq.withColumn("_pr", F.percent_rank().over(Window.orderBy(time_col, key_col)))
-        train = ranked.filter(F.col("_pr") < 1 - test_frac).drop("_pr")
-        test = ranked.filter(F.col("_pr") >= 1 - test_frac).drop("_pr")
+        # chronological head/tail WITHOUT a global sort (round-3 scale fix:
+        # percent_rank over an unpartitioned window funnels the whole table
+        # through one task): the time cutoff comes from a distributed
+        # percentile_approx aggregate, then two filters split around it.
+        # Boundary rows (time == cutoff) go to the test side, preserving
+        # max(train time) <= min(test time) exactly; the split fraction is
+        # approximate to the sketch's accuracy (1e-4 here) instead of exact,
+        # and degenerate all-one-timestamp inputs land everything in test.
+        cutoff = df_seq.agg(
+            F.percentile_approx(time_col, 1 - test_frac, 10_000).alias("c")
+        ).first()["c"]
+        train = df_seq.filter(F.col(time_col) < F.lit(cutoff))
+        test = df_seq.filter(F.col(time_col) >= F.lit(cutoff))
     return train, test
 
 
