@@ -968,8 +968,17 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 10000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
     )
+    from sparklead.dedup import neardup_components
+
     pairs = embedding_neardup(emb.unionByName(near), threshold=0.95)
-    return pairs.select("a_id", "b_id", F.round("cosine", 4).alias("cosine"))
+    # pair -> GROUP resolution rides along (connected components, min-id
+    # label): the dedup decision the pairs alone don't give — with seeded
+    # a<->a+10000 pairs every component label equals its seeded a_id
+    comp = neardup_components(pairs)
+    return (
+        pairs.join(comp.withColumnRenamed("id", "a_id"), "a_id")
+        .select("a_id", "b_id", F.round("cosine", 4).alias("cosine"), "component")
+    )
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
