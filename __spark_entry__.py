@@ -658,10 +658,15 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (md5-min per salt) — engine-portable, oracle-checked."""
+    """MinHash signatures (md5-min per salt) — engine-portable, oracle-checked.
+
+    _fan added round-4 on A/B evidence (tools/fan_ab.py): fanned 0.434 s vs
+    plain 0.524 s median-of-5 at sf0.1/local[32] — the post-filter input
+    collapses to one split and the per-row shingle×salt md5 fold is exactly
+    the compute _fan exists for (narrow, no downstream shuffle)."""
     from sparklead.dedup import minhash_signature, word_shingles
 
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = _fan(_read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
     sig = minhash_signature(word_shingles("text", 3), 4)
     return docs.select("doc_id", sig.getItem(0).alias("mh0"), sig.getItem(3).alias("mh3"))
 
@@ -700,10 +705,16 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-3 neighbors for query vecs (ANN baseline)."""
+    """Brute-force cosine top-3 neighbors for query vecs (ANN baseline).
+
+    No _fan (round-4 A/B, tools/fan_ab.py): fanned 0.996 s vs plain 0.967 s
+    median-of-5 at sf0.1/local[32] — indistinguishable, because the NLJ
+    output shuffle (the per-query window) dominates, not the corpus-side
+    scoring. And at scale the corpus arrives in many row groups, where a
+    round-robin repartition of the WHOLE corpus is a pure extra shuffle."""
     from sparklead.similarity import brute_force_topk
 
-    emb = _fan(_read(spark, sf_dir, "embeddings"))
+    emb = _read(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     out = brute_force_topk(q, emb, k=3)
     return out.select("query_id", "neighbor_id", "rank")
@@ -961,23 +972,36 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign pattern, so the LSH bucket provably collides); the random corpus
     has no >=0.95 pairs of its own. Rows-only: sign buckets are xxhash64-
     derived (no DuckDB equivalent); recall is pinned in pytest."""
-    from sparklead.dedup import embedding_neardup
+    from sparklead.dedup import dedup_by_components, embedding_neardup, neardup_components
 
     emb = _fan(_read(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     near = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
     )
-    from sparklead.dedup import neardup_components
-
-    pairs = embedding_neardup(emb.unionByName(near), threshold=0.95)
+    corpus = emb.unionByName(near)
+    pairs = embedding_neardup(corpus, threshold=0.95)
     # pair -> GROUP resolution rides along (connected components, min-id
-    # label): the dedup decision the pairs alone don't give — with seeded
-    # a<->a+10000 pairs every component label equals its seeded a_id
+    # label): with seeded a<->a+10000 pairs every component label equals its
+    # seeded a_id. Round-4: the end-to-end KEEP/DROP DECISION
+    # (dedup_by_components — the operator a 100-TB pipeline actually runs)
+    # is gated too: every row carries the component's member count and the
+    # corpus-wide survivor totals, self-certifying the decision layer —
+    # n_kept must equal corpus size minus dropped non-representatives.
     comp = neardup_components(pairs)
+    kept = dedup_by_components(corpus, pairs, key_col="vec_id", components=comp)
+    decision_stats = kept.agg(F.count(F.lit(1)).alias("n_kept")).crossJoin(
+        comp.agg(
+            F.countDistinct("component").alias("n_groups"),
+            F.sum((F.col("id") != F.col("component")).cast("long")).alias("n_dropped"),
+        )
+    )
+    group_sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
     return (
         pairs.join(comp.withColumnRenamed("id", "a_id"), "a_id")
-        .select("a_id", "b_id", F.round("cosine", 4).alias("cosine"), "component")
+        .join(group_sizes, "component")
+        .select("a_id", "b_id", F.round("cosine", 4).alias("cosine"), "component", "group_size")
+        .crossJoin(broadcast(decision_stats))
     )
 
 
@@ -1414,7 +1438,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "auc_threshold": """
             WITH s AS (
-              SELECT value AS score, (event_type = 'error')::int AS y FROM events
+              -- round(score, 6) BEFORE the histogram, mirroring the Spark
+              -- side's quantize=6: bounds the sweep windows by score RANGE
+              -- instead of score cardinality (continuous doubles would make
+              -- the histogram data-sized)
+              SELECT round(value, 6) AS score, (event_type = 'error')::int AS y FROM events
             ), hist AS (
               SELECT score, sum(y)::bigint AS pos, count(*)::bigint AS n
               FROM s GROUP BY score

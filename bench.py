@@ -63,13 +63,28 @@ def _mk_spark(app: str):
     return spark, cpus
 
 
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+
+
 def run_headline() -> dict:
+    """Median-of-REPEATS per query (round-4 fix: this VM's 32-thread timings
+    are +-30% noisy under hypervisor contention — round-3's single-shot
+    numbers showed a uniform ~15-25% 'regression' on UNTOUCHED queries that a
+    median cannot produce; with medians, round-over-round deltas are signal).
+    The reported suite wall is the sum of per-query medians; per-query
+    min/median/max go in `spread` so the noise floor itself is on record."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark, cpus = _mk_spark("sparklead-bench")
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     # JVM/codegen warmup so the first timed query isn't charged startup
     _force(qs["seq_aggregates"](spark, sf_dir))
     # Python-worker-lane warmup: the daemon + per-worker imports cost ~2-3 s
@@ -82,28 +97,38 @@ def run_headline() -> dict:
     ).count()
     for name in HEADLINE:
         fn = qs.get(name) or getattr(entrymod, f"_q_{name}")
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            runs.append(round(time.time() - t0, 3))
+        times[name] = round(_median(runs), 3)
+        spread[name] = [min(runs), round(_median(runs), 3), max(runs)]
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    # north-rule headline: pipeline throughput over a materialized input
-    # (500k keeps the whole bench under ~3 min; scaling evidence lives in
-    # BENCH.md via tools/scaling_bench.py / tools/cluster_bench.py)
-    pipe = _pipeline_throughput(spark, cpus, n_docs=500_000)
+    # north-rule headline: pipeline throughput over a materialized input,
+    # also median-of-REPEATS with min/median/max reported (500k docs x 3
+    # keeps the whole bench ~3 min; scaling evidence lives in BENCH.md via
+    # tools/scaling_bench.py / tools/cluster_bench.py)
+    pipe_walls = [
+        _pipeline_throughput(spark, cpus, n_docs=500_000)["wall_sec"] for _ in range(REPEATS)
+    ]
+    pipe_wall = _median(pipe_walls)
     out = {
-        "metric": "headline query suite wall time",
+        "metric": "headline query suite wall time (median of %d)" % REPEATS,
         "value": total,
         "unit": "sec",
         "queries": times,
+        "spread": spread,
         "sf": sf_val,
         "cpus": cpus,
-        "pipeline_seqs_per_sec": pipe["value"],
-        "pipeline_wall_sec": pipe["wall_sec"],
+        "pipeline_seqs_per_sec": round(500_000 / pipe_wall, 1),
+        "pipeline_wall_sec": round(pipe_wall, 3),
+        "pipeline_wall_spread": [min(pipe_walls), round(pipe_wall, 3), max(pipe_walls)],
     }
     spark.stop()
     return out

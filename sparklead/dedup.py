@@ -309,28 +309,48 @@ def neardup_components(
 
     The caller dedups with: keep id == component (the min-id representative),
     drop the rest — the distributed analogue of exact_dedup's min(key).
+
+    Contract (round-4, advisor fix): the RETURNED FRAME IS PERSISTED — its
+    lineage is the whole iterative join chain, so an unpersisted return
+    would silently re-run every propagation round on each downstream
+    action. The caller owns the cache: call ``.unpersist()`` once the
+    labels (or anything derived from them) are materialized. If the loop
+    exhausts ``max_iter`` with labels still changing (a pair chain longer
+    than ``max_iter`` hops), a ``RuntimeWarning`` is emitted and the
+    truncated labels are returned — one duplicate group split across
+    several component labels is UNDER-dedup (safe direction: extra copies
+    survive, nothing legitimate is dropped); raise ``max_iter`` to
+    converge.
     """
+    import warnings
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .persist()
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "component", F.col("id")
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    # SELF-EDGES make each round a single join + agg that references the
+    # previous labels exactly ONCE: min over N(v) ∪ {v} == least(own,
+    # neighbor-min), so no second labels reference for the keep-own-label
+    # left join. This matters beyond elegance (round-4 fix, found by the
+    # adversarial-chain test): referencing labels twice per round doubles
+    # the LOGICAL plan each iteration — by iteration ~14 the 2^n-node plan
+    # string OOMs the driver before any executor works. With one reference
+    # the plan grows linearly in rounds, which max_iter bounds.
+    edges_self = edges.unionByName(
+        verts.select(F.col("id").alias("src"), F.col("id").alias("dst"))
     ).persist()
+    labels = verts.withColumn("component", F.col("id")).persist()
     labels.count()
+    changed = 0
     for _ in range(max_iter):
-        # neighbor minimum: propagate each vertex's label across its edges
-        prop = (
-            edges.join(labels, edges.src == labels.id)
+        # neighbor∪self minimum: propagate each vertex's label across edges
+        new_labels = (
+            edges_self.join(labels, edges_self.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
             .groupBy("id")
-            .agg(F.min("component").alias("_nbr"))
-        )
-        new_labels = (
-            labels.join(prop, "id", "left")
-            .select("id", F.least("component", F.coalesce("_nbr", "component")).alias("component"))
+            .agg(F.min("component").alias("component"))
             .persist()
         )
         changed = (
@@ -342,7 +362,16 @@ def neardup_components(
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
+    edges_self.unpersist()
+    if changed > 0:
+        warnings.warn(
+            f"neardup_components: label propagation did not converge within "
+            f"max_iter={max_iter} rounds ({changed} labels still changing) — "
+            f"groups with chains longer than max_iter hops remain SPLIT "
+            f"(under-dedup); raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -352,12 +381,23 @@ def dedup_by_components(
     key_col: str = "doc_id",
     a_col: str = "a_id",
     b_col: str = "b_id",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dedup decision: keep one representative per connected
     near-duplicate group (the min-id member), pass through all unpaired rows.
     Anti-join on the drop-list keeps the plan one edge-sized join against
-    the fact table."""
-    comps = neardup_components(pairs, a_col, b_col)
+    the fact table.
+
+    The component labels backing the anti-join stay PERSISTED (see
+    neardup_components' contract — unpersisting before the result
+    materializes would re-run the propagation loop). Long-lived sessions
+    deduping many corpora should clear them after materializing:
+    ``spark.catalog.clearCache()`` or hold the labels via
+    ``neardup_components`` directly and ``.unpersist()`` them. Pass
+    ``components`` when the labels were already resolved (avoids re-running
+    the propagation loop for callers that need both pairs-view and
+    decision)."""
+    comps = components if components is not None else neardup_components(pairs, a_col, b_col)
     drops = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(key_col)
     )
@@ -373,6 +413,7 @@ def embedding_neardup_candidates(
     n_bands: int = 4,
     planes_per_band: int = 16,
     max_bucket: int = 10_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Banded sign-LSH candidate pairs (a_id < b_id, n_band_hits).
 
@@ -390,9 +431,12 @@ def embedding_neardup_candidates(
 
     # plane weights as array LITERALS: one driver-side job over
     # n_bands*planes_per_band x dim rows replaces per-row hashing of the
-    # same constants (see plane_weights). dim probes a single row.
-    dim_row = df.select(F.size(emb_col).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row else 0
+    # same constants (see plane_weights). ``dim`` probes a single row only
+    # when the caller didn't supply it (round-4: one driver job saved per
+    # call-chain — embedding_neardup passes its probe through).
+    if dim is None:
+        dim_row = df.select(F.size(emb_col).alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row else 0
     w = plane_weights(df.sparkSession, list(range(n_bands * planes_per_band)), dim) if dim else None
     keys = F.array(
         *[
@@ -430,6 +474,7 @@ def embedding_neardup(
     n_bands: int = 4,
     planes_per_band: int = 16,
     max_bucket: int = 10_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs: banded sign-LSH candidates + exact verify.
 
@@ -441,7 +486,7 @@ def embedding_neardup(
     recall/candidate-volume trade)."""
     from sparklead.similarity import cosine_expr
 
-    cand = embedding_neardup_candidates(df, emb_col, key_col, n_bands, planes_per_band, max_bucket)
+    cand = embedding_neardup_candidates(df, emb_col, key_col, n_bands, planes_per_band, max_bucket, dim)
     emb = df.select(F.col(key_col).alias("id"), F.col(emb_col).alias("v"))
     return (
         cand.join(emb.select(F.col("id").alias("a_id"), F.col("v").alias("va")), "a_id")

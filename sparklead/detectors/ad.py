@@ -66,13 +66,31 @@ def train_test_split(
         # percentile_approx aggregate, then two filters split around it.
         # Boundary rows (time == cutoff) go to the test side, preserving
         # max(train time) <= min(test time) exactly; the split fraction is
-        # approximate to the sketch's accuracy (1e-4 here) instead of exact,
-        # and degenerate all-one-timestamp inputs land everything in test.
-        cutoff = df_seq.agg(
-            F.percentile_approx(time_col, 1 - test_frac, 10_000).alias("c")
-        ).first()["c"]
-        train = df_seq.filter(F.col(time_col) < F.lit(cutoff))
-        test = df_seq.filter(F.col(time_col) >= F.lit(cutoff))
+        # approximate to the sketch's accuracy (1e-4 here) instead of exact.
+        # DEGENERATE-TIE GUARD (round-4, advisor fix): coarse/tied timestamps
+        # can put the cutoff at min(time) — then train is EMPTY and
+        # downstream .train() dies, where the reference's head/tail split
+        # never produces an empty side. When the cutoff ties the minimum the
+        # percentile filters cannot separate the data at all, so fall back to
+        # the exact percent_rank path (global sort, tie-broken by key_col —
+        # acceptable: it only triggers on near-constant time columns, where
+        # "chronological" order is mostly the tie-break anyway).
+        stats = df_seq.agg(
+            F.percentile_approx(time_col, 1 - test_frac, 10_000).alias("c"),
+            F.min(time_col).alias("lo"),
+        ).first()
+        cutoff = stats["c"]
+        if cutoff is None or cutoff == stats["lo"]:
+            from pyspark.sql import Window
+
+            ranked = df_seq.withColumn(
+                "_pr", F.percent_rank().over(Window.orderBy(time_col, key_col))
+            )
+            train = ranked.filter(F.col("_pr") < 1 - test_frac).drop("_pr")
+            test = ranked.filter(F.col("_pr") >= 1 - test_frac).drop("_pr")
+        else:
+            train = df_seq.filter(F.col(time_col) < F.lit(cutoff))
+            test = df_seq.filter(F.col(time_col) >= F.lit(cutoff))
     return train, test
 
 
@@ -197,16 +215,34 @@ class AnomalyDetector:
         )
 
 
-def _score_hist(scores: DataFrame, label_col: str, score_col: str) -> DataFrame:
+def _score_hist(
+    scores: DataFrame, label_col: str, score_col: str, quantize: int | None = 6
+) -> DataFrame:
     """(score, pos, n) per distinct score — the sufficient statistic for both
-    ROC-AUC and the threshold sweep. One hash agg; every window below runs
-    over score-CARDINALITY rows, never data-sized rows."""
-    return scores.groupBy(F.col(score_col).alias("score")).agg(
+    ROC-AUC and the threshold sweep. One hash agg.
+
+    ``quantize`` (round-4 scale fix): the unpartitioned windows downstream
+    run over score-CARDINALITY rows — fine for discrete scores, but
+    CONTINUOUS scores (rarity sums, probabilities) have cardinality ~= row
+    count, funnelling the whole test set through one task. Rounding the
+    score to ``quantize`` decimals first bounds the histogram by the score
+    RANGE (<= range * 10^quantize + 1 rows; ~2e6 for [0,1] scores at the
+    default 6), which perturbs AUC/F1 by < 1e-6 — set ``quantize=None``
+    only when exact tie handling of raw doubles matters more than scale."""
+    s = F.col(score_col)
+    if quantize is not None:
+        s = F.round(s, quantize)
+    return scores.groupBy(s.alias("score")).agg(
         F.sum(F.col(label_col).cast("long")).alias("pos"), F.count(F.lit(1)).alias("n")
     )
 
 
-def roc_auc(scores: DataFrame, label_col: str = "label", score_col: str = "score") -> DataFrame:
+def roc_auc(
+    scores: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    quantize: int | None = 6,
+) -> DataFrame:
     """ROC-AUC, fully relational (no collect): Mann-Whitney U with average
     ranks over the per-score histogram. The reference reports AUC via
     sklearn roc_auc_score (anomaly_detection.py:426-530); rank-sum over
@@ -215,7 +251,7 @@ def roc_auc(scores: DataFrame, label_col: str = "label", score_col: str = "score
     Returns a 1-row frame (auc double)."""
     from pyspark.sql import Window
 
-    hist = _score_hist(scores, label_col, score_col)
+    hist = _score_hist(scores, label_col, score_col, quantize)
     w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
     ranked = hist.withColumn(
         "rank_avg", F.coalesce(F.sum("n").over(w), F.lit(0)) + (F.col("n") + 1) / 2.0
@@ -228,7 +264,12 @@ def roc_auc(scores: DataFrame, label_col: str = "label", score_col: str = "score
     )
 
 
-def threshold_search(scores: DataFrame, label_col: str = "label", score_col: str = "score") -> DataFrame:
+def threshold_search(
+    scores: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    quantize: int | None = 6,
+) -> DataFrame:
     """Best decision threshold by F1 over every distinct score — the
     relational analogue of the reference's optional threshold optimization
     (anomaly_detection.py:426-530). Predict positive when score >= t;
@@ -238,7 +279,7 @@ def threshold_search(scores: DataFrame, label_col: str = "label", score_col: str
     Returns a 1-row frame (best_thr, best_f1)."""
     from pyspark.sql import Window
 
-    hist = _score_hist(scores, label_col, score_col)
+    hist = _score_hist(scores, label_col, score_col, quantize)
     w = Window.orderBy(F.col("score").desc()).rowsBetween(Window.unboundedPreceding, 0)
     # total positives via an unbounded window over the SAME (small,
     # score-cardinality-sized) frame — no separate driver action/job

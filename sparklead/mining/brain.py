@@ -63,32 +63,38 @@ def parse_brain(
     pos = base.select("_len", F.posexplode(tokens_col).alias("pos", "tok"))
     freqs = pos.groupBy("_len", "pos", "tok").agg(F.count(F.lit(1)).alias("freq"))
 
-    # per-row frequency vector via a join of the freq table. NO broadcast
+    # per-line frequency vector via a join of the freq table. NO broadcast
     # hint (round-2 fix): |freqs| = distinct (length, position, token)
     # triples, which on an unmasked high-cardinality corpus can exceed
     # executor memory — a forced hint overrides Catalyst's size check and
     # OOMs, whereas the unhinted plan degrades to a shuffle join (and AQE
     # still promotes it to broadcast at runtime when the aggregate turns
     # out small, the common case on masked machine logs).
-    # _rid is derived ONCE and the frame is CACHED: ided feeds two join
-    # branches (roots and keyed), and an uncached monotonically_increasing_id
-    # could re-number rows differently per branch under a nondeterministic
-    # upstream shuffle — same reason parse_pl_iplom caches its keyed frame.
-    ided = base.withColumn("_rid", F.monotonically_increasing_id()).cache()
+    # Line identity is a CONTENT hash (round-4 cache-hygiene fix): a row's
+    # root/cluster depends only on its token array + the global freq table,
+    # so identical lines share one id — the root computation runs over
+    # DISTINCT lines (the same distinct-line win Drain exploits; machine
+    # logs are duplicate-heavy) and, unlike the old monotonically_increasing
+    # _id, the id is deterministic under ANY partitioning, so no .cache() is
+    # needed to pin one numbering across join branches (the cache never got
+    # unpersisted and accreted storage in long-lived sessions).
+    lid = F.md5(F.to_json(F.struct(F.col(tokens_col))))
+    base = base.withColumn("_lid", lid)
+    lines = base.select("_lid", "_len", tokens_col).dropDuplicates(["_lid"])
     with_freq = (
-        ided.select("_rid", "_len", F.posexplode(tokens_col).alias("pos", "tok"))
+        lines.select("_lid", "_len", F.posexplode(tokens_col).alias("pos", "tok"))
         .join(freqs, ["_len", "pos", "tok"], "left")
     )
-    per_freq = with_freq.groupBy("_rid", "_len", "freq").agg(
+    per_freq = with_freq.groupBy("_lid", "_len", "freq").agg(
         F.count(F.lit(1)).alias("_cnt"), F.min("pos").alias("_first_pos")
     )
-    roots = per_freq.groupBy("_rid", "_len").agg(
+    roots = per_freq.groupBy("_lid", "_len").agg(
         F.max_by(
             F.concat_ws("#", F.col("freq").cast("string"), F.col("_cnt").cast("string")),
             F.struct(F.col("_cnt"), (-F.col("_first_pos")).alias("_np")),
         ).alias("_root")
     )
-    keyed = ided.join(roots.select("_rid", "_root"), "_rid").withColumn(
+    keyed = base.join(roots.select("_lid", "_root"), "_lid").withColumn(
         "_cluster", F.concat_ws("#", F.col("_len").cast("string"), F.col("_root"))
     )
     if threshold > 2:
@@ -141,13 +147,30 @@ def parse_brain(
         "template_id", F.concat(F.lit("e"), F.substring(F.md5("template"), 1, 8))
     )
     sizes = keyed.groupBy("_cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
-    template_table = (
-        mapping.join(sizes, "_cluster")
-        .groupBy("template_id", "template")
-        .agg(F.sum("cluster_size").alias("cluster_size"))
+    # The cluster -> template mapping is CLUSTER-COUNT-sized (a template
+    # table), so it is collected ONCE while ``keyed`` is persisted and
+    # re-emitted as literal rows (round-4 cache-hygiene fix): the returned
+    # frames carry no reference to any cached data-sized frame —
+    # getPersistentRDDs() is empty after parse_brain returns — and the
+    # assignment join is a guaranteed broadcast of literals. ``assigned``
+    # recomputes the (deterministic, content-keyed) cluster lineage once
+    # when the caller materializes it.
+    spark = df.sparkSession
+    keyed = keyed.persist()
+    try:
+        mapping_sized = mapping.join(sizes, "_cluster").select(
+            "_cluster", "template_id", "template", "cluster_size"
+        )
+        map_rows = mapping_sized.collect()
+        mp = spark.createDataFrame(map_rows, mapping_sized.schema)
+    finally:
+        keyed.unpersist()
+    template_table = mp.groupBy("template_id", "template").agg(
+        F.sum("cluster_size").alias("cluster_size")
     )
-    # cluster-count-sized map, unhinted for the same reason as the freq join
+    from pyspark.sql.functions import broadcast
+
     assigned = keyed.join(
-        mapping.select("_cluster", F.col("template_id").alias(out_col)), "_cluster", "left"
-    ).drop("_cluster", "_root", "_rid", "_len")
+        broadcast(mp.select("_cluster", F.col("template_id").alias(out_col))), "_cluster", "left"
+    ).drop("_cluster", "_root", "_lid", "_len")
     return assigned, template_table.select("template_id", "template", "cluster_size")

@@ -335,24 +335,44 @@ def parse_iplom(
     **kw,
 ) -> tuple[DataFrame, DataFrame]:
     """Assign template ids (row's key is a function of its own tokens + the
-    partition statistics, recomputed once and joined broadcast)."""
-    keyed = iplom_keyed(df, tokens_col, **kw).cache()
-    per_pos = (
-        keyed.select("part_key", F.posexplode(tokens_col).alias("pos", "tok"))
-        .groupBy("part_key", "pos")
-        .agg(F.when(F.countDistinct("tok") == 1, F.first("tok")).otherwise(F.lit("<*>")).alias("t"))
-    )
-    templates = (
-        per_pos.groupBy("part_key")
-        .agg(
-            F.concat_ws(
-                " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "t"))), lambda s: s["t"])
-            ).alias("template")
+    partition statistics, recomputed once and joined broadcast).
+
+    The template table (part_key -> template/id/size) is TEMPLATE-sized, so
+    it is collected while the keyed frame is persisted and re-emitted as
+    literal rows, then the keyed frame is unpersisted before returning
+    (round-4 cache-hygiene fix — the old permanent .cache() accreted
+    storage across corpora in long-lived sessions). ``part_key`` is a
+    deterministic function of row content + the S3 statistics (which are
+    embedded as plan literals by iplom_keyed), so ``assigned`` can safely
+    recompute the keyed lineage once when the caller materializes it; its
+    template join is a guaranteed broadcast of literals."""
+    from pyspark.sql.functions import broadcast
+
+    spark = df.sparkSession
+    keyed = iplom_keyed(df, tokens_col, **kw).persist()
+    try:
+        per_pos = (
+            keyed.select("part_key", F.posexplode(tokens_col).alias("pos", "tok"))
+            .groupBy("part_key", "pos")
+            .agg(F.when(F.countDistinct("tok") == 1, F.first("tok")).otherwise(F.lit("<*>")).alias("t"))
         )
-        .withColumn("template_id", F.concat(F.lit("e"), F.substring(F.md5("template"), 1, 8)))
-    )
+        templates = (
+            per_pos.groupBy("part_key")
+            .agg(
+                F.concat_ws(
+                    " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "t"))), lambda s: s["t"])
+                ).alias("template")
+            )
+            .withColumn("template_id", F.concat(F.lit("e"), F.substring(F.md5("template"), 1, 8)))
+        )
+        sizes = keyed.groupBy("part_key").agg(F.count(F.lit(1)).alias("part_len"))
+        tpl_sized = templates.join(sizes, "part_key").select(
+            "part_key", "template_id", "template", "part_len"
+        )
+        tpl = spark.createDataFrame(tpl_sized.collect(), tpl_sized.schema)
+    finally:
+        keyed.unpersist()
     assigned = keyed.join(
-        templates.select("part_key", F.col("template_id").alias(out_col)), "part_key", "left"
+        broadcast(tpl.select("part_key", F.col("template_id").alias(out_col))), "part_key", "left"
     ).drop("part_key")
-    sizes = keyed.groupBy("part_key").agg(F.count(F.lit(1)).alias("part_len"))
-    return assigned, templates.join(sizes, "part_key").select("template_id", "template", "part_len")
+    return assigned, tpl.select("template_id", "template", "part_len")

@@ -151,10 +151,23 @@ def parse_pl_iplom(
     Assignment needs no similarity matching (unlike Drain): a row's partition
     key is a deterministic function of its own tokens, so we recompute the
     key per row (narrow) and join the (small, broadcast) template table.
+
+    Cache hygiene (round-4, same fix as parse_iplom/parse_brain): the
+    template table is collected while the keyed frame is persisted, then the
+    keyed frame is unpersisted before returning — no cached data-sized frame
+    outlives the call; ``assigned`` recomputes the deterministic key lineage
+    once on materialization and joins the broadcast literal table.
     """
-    keyed = _keyed(df, tokens_col, rounds, bijection).cache()
-    templates = pl_iplom_templates(df, tokens_col, rounds, support_threshold, _keyed_df=keyed)
+    from pyspark.sql.functions import broadcast
+
+    spark = df.sparkSession
+    keyed = _keyed(df, tokens_col, rounds, bijection).persist()
+    try:
+        templates = pl_iplom_templates(df, tokens_col, rounds, support_threshold, _keyed_df=keyed)
+        tpl = spark.createDataFrame(templates.collect(), templates.schema)
+    finally:
+        keyed.unpersist()
     assigned = keyed.join(
-        templates.select("part_key", F.col("template_id").alias(out_col)), "part_key", "left"
+        broadcast(tpl.select("part_key", F.col("template_id").alias(out_col))), "part_key", "left"
     ).drop("part_key")
-    return assigned, templates
+    return assigned, tpl

@@ -73,7 +73,17 @@ def route(
     """Write every sink; with resume=True, completed sinks are skipped.
 
     ``sinks`` maps sink name -> thunk producing its DataFrame (thunks so a
-    skipped sink costs nothing). Returns {name: manifest}.
+    skipped sink costs nothing — resume schema validation below builds the
+    plan, which is lazy and runs no jobs). Returns {name: manifest}.
+
+    Resume SCHEMA validation (round-4, advisor fix): a sink written by an
+    older pipeline layout can be complete-but-stale — e.g. a token_vectors
+    dir from before the staged layout lacks the carried seq_features
+    columns, and skipping its rewrite makes the downstream
+    ``select(*seq_cols)`` die with an AnalysisException. A resumed sink is
+    only skipped when its manifest-recorded schema EQUALS the schema the
+    thunk would write now; any drift (missing/extra columns, type changes)
+    triggers a rewrite instead of a broken resume.
 
     Independent sinks are written from CONCURRENT driver threads (the
     standard Spark multi-job pattern): the scheduler interleaves their
@@ -86,7 +96,11 @@ def route(
         path = os.path.join(out_dir, name)
         if resume and sink_complete(path):
             with open(os.path.join(path, MANIFEST)) as f:
-                results[name] = json.load(f) | {"resumed": True}
+                manifest = json.load(f)
+            if manifest.get("schema") == thunk().schema.simpleString():
+                results[name] = manifest | {"resumed": True}
+            else:
+                pending[name] = thunk
         else:
             pending[name] = thunk
     if len(pending) <= 1 or not concurrent:

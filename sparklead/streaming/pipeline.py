@@ -31,6 +31,9 @@ from sparklead.pipeline import enrich_stage, parse_stage, source_agg, template_c
 PRETOK_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
 
+SINK_NAMES = ("seq_features", "template_counts", "source_agg")
+
+
 def stream_route(
     spark: SparkSession,
     input_dir: str,
@@ -38,16 +41,21 @@ def stream_route(
     source_meta: DataFrame,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Incremental parse->enrich->route. Returns the StreamingQuery.
 
     Sinks are parquet-append per micro-batch; a JSONL manifest records
     (batch_id, sink, rows) — per-batch lineage, the streaming analogue of the
-    batch manifests.
+    batch manifests. ``max_files_per_trigger`` bounds each micro-batch (and
+    lets tests force multi-batch runs).
     """
     if checkpoint_dir is None:
         checkpoint_dir = os.path.join(out_dir, "_checkpoint")
-    stream = spark.readStream.schema(PRETOK_SCHEMA).parquet(input_dir)
+    reader = spark.readStream.schema(PRETOK_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
     enriched_stream = enrich_stage(parse_stage(stream), source_meta)
     manifest_path = os.path.join(out_dir, "stream_manifest.jsonl")
 
@@ -60,6 +68,37 @@ def stream_route(
                     if e.get("committed"):
                         done[e["batch_id"]] = e.get("identity")
         return done
+
+    def _reset_from(batch_id: int) -> None:
+        """New-generation reset (round-4, advisor fix): a committed batch_id
+        whose CONTENT identity mismatches means the checkpoint was lost and
+        the restarted run is repacking the input into a NEW batch sequence —
+        every previously-committed batch dir with id >= the divergence point
+        belongs to the dead generation. Left in place they double-count
+        (the sink union reads them) and the manifest keeps conflicting
+        committed entries. Remove those dirs across ALL sinks and rewrite
+        the manifest keeping only pre-divergence entries (at divergence
+        batch 0 — the common lost-checkpoint case — this is a full wipe +
+        fresh manifest). Batches BEFORE the divergence point matched
+        content-identically and stay. Stale ids above the new run's max can
+        only survive if the input SHRANK between runs, which an append-only
+        source contract excludes."""
+        import re
+        import shutil
+
+        for name in SINK_NAMES:
+            sink_dir = os.path.join(out_dir, name)
+            if not os.path.isdir(sink_dir):
+                continue
+            for d in os.listdir(sink_dir):
+                m = re.fullmatch(r"batch_id=(\d+)", d)
+                if m and int(m.group(1)) >= batch_id:
+                    shutil.rmtree(os.path.join(sink_dir, d), ignore_errors=True)
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                keep = [ln for ln in f if json.loads(ln).get("batch_id", 0) < batch_id]
+            with open(manifest_path, "w") as f:
+                f.writelines(keep)
 
     def route_batch(batch_df: DataFrame, batch_id: int) -> None:
         # IDEMPOTENT per-batch write: after a mid-batch failure, checkpoint
@@ -84,9 +123,13 @@ def stream_route(
         ).first()
         n_rows, identity = ident["rows"], f"{ident['rows']}:{ident['fp']}"
         committed = _committed_batches()
-        if batch_id in committed and committed[batch_id] == identity:
-            batch_df.unpersist()
-            return
+        if batch_id in committed:
+            if committed[batch_id] == identity:
+                batch_df.unpersist()
+                return
+            # committed id, different content: lost-checkpoint regeneration —
+            # clear the dead generation from this batch onward (see _reset_from)
+            _reset_from(batch_id)
         entries = []
         for name, frame in {
             "seq_features": batch_df.select(

@@ -255,12 +255,14 @@ def test_stream_replay_detects_new_batch_zero(spark, tmp_path):
     pt.filter(F.col("doc_id") >= "doc_000000200").coalesce(1).write.mode("append").parquet(inp)
     stream_route(spark, inp, out, synth.source_meta(spark)).awaitTermination(180)
     # the new batch 0 (both files) must have been PROCESSED, not skipped:
-    # its overwrite of batch_id=0 leaves all 400 docs in the sink
+    # the round-4 generation reset wipes the dead generation's dirs AND
+    # starts a fresh manifest, so the sink holds exactly the new run's rows
+    # and the manifest carries exactly its committed batches
     assert spark.read.parquet(os.path.join(out, "seq_features")).count() == 400
     manifest = [json.loads(l) for l in open(os.path.join(out, "stream_manifest.jsonl"))]
     committed = [m for m in manifest if m.get("committed")]
-    assert len(committed) == 2  # first run + re-processed new batch 0
-    assert committed[0]["identity"] != committed[1]["identity"]
+    assert len(committed) == 1  # fresh generation: only the re-processed batch 0
+    assert committed[0]["batch_id"] == 0
 
 
 # ------------------------------------------------- PL-IPLoM bijection (S3)

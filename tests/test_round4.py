@@ -1,0 +1,337 @@
+"""Round-4 fixes: variance-aware bench protocol (bench.py), bounded
+AUC/threshold windows via score quantization, unbiased IVF fit sample,
+miner cache hygiene (no persisted frames outlive parse_*), folded dim
+probes, neardup_components convergence signalling + adversarial depth,
+streaming lost-checkpoint generation reset (multi-batch), resume schema
+validation, chronological-split degenerate-tie fallback."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparklead import synth
+
+
+# ------------------------------------------------- AUC/threshold quantization
+
+def test_auc_quantize_bounds_histogram(spark):
+    """Continuous scores (raw doubles) make the score histogram data-sized —
+    the quantized sweep must run over <= range*10^6+1 rows and move AUC/F1
+    by < 1e-4 vs the exact computation."""
+    from sparklead.detectors.ad import _score_hist, roc_auc, threshold_search
+
+    n = 4000
+    scores = spark.range(n).select(
+        (F.pmod(F.xxhash64("id"), 2) == 0).cast("int").alias("label"),
+        # full-precision continuous double in [0, 1): every value distinct
+        ((F.pmod(F.xxhash64("id", F.lit(7)), 1_000_000_000) / 1e9)
+         + F.pmod(F.xxhash64("id", F.lit(11)), 997) / 1e13).alias("score"),
+    )
+    exact_hist = _score_hist(scores, "label", "score", quantize=None)
+    q_hist = _score_hist(scores, "label", "score", quantize=6)
+    assert exact_hist.count() == n  # continuous: cardinality == rows
+    # quantized histogram is bounded by the score RANGE, and smaller here
+    assert q_hist.count() < n
+    # every histogram score is exactly 6-decimal (the window input is the
+    # quantized column, never the raw doubles)
+    assert q_hist.filter(F.col("score") != F.round("score", 6)).count() == 0
+    auc_exact = roc_auc(scores, quantize=None).first()["auc"]
+    auc_q = roc_auc(scores).first()["auc"]
+    assert abs(auc_exact - auc_q) < 1e-4
+    f1_exact = threshold_search(scores, quantize=None).first()["best_f1"]
+    f1_q = threshold_search(scores).first()["best_f1"]
+    assert abs(f1_exact - f1_q) < 1e-4
+
+
+# ------------------------------------------------- chronological split ties
+
+def test_chronological_split_degenerate_ties(spark):
+    """All-one-timestamp input: the percentile cutoff equals min(time), so
+    the filter split would put EVERYTHING in test (empty train kills
+    .train()). The fallback percent_rank path must yield both sides
+    non-empty at ~the requested fractions, tie-broken by key."""
+    from sparklead.detectors.ad import train_test_split
+
+    df = spark.range(100).select(
+        F.col("id").alias("seq_id"), F.lit(5).alias("start_time")
+    )
+    tr, te = train_test_split(df, test_frac=0.3, shuffle=False, time_col="start_time")
+    n_tr, n_te = tr.count(), te.count()
+    assert n_tr + n_te == 100
+    assert n_tr == 70 and n_te == 30  # exact fractions on the fallback path
+    # normal path untouched: distinct times still split by cutoff with
+    # max(train) <= min(test)
+    df2 = spark.range(100).select(
+        F.col("id").alias("seq_id"), F.col("id").alias("start_time")
+    )
+    tr2, te2 = train_test_split(df2, test_frac=0.3, shuffle=False, time_col="start_time")
+    assert tr2.agg(F.max("start_time")).first()[0] <= te2.agg(F.min("start_time")).first()[0]
+    assert abs(tr2.count() - 70) <= 2
+
+
+# ------------------------------------------------- IVF fit-sample bias
+
+def _two_cluster_vecs(spark, n_per: int = 600, dim: int = 8):
+    """Content-sorted corpus: ids [0, n_per) tight around +10, ids
+    [n_per, 2*n_per) tight around -10; range-partitioned by id so the
+    physical prefix is ENTIRELY cluster A (the layout a curated corpus
+    sorted by source/time/content produces)."""
+    from pyspark.ml.functions import array_to_vector
+
+    base = spark.range(2 * n_per).select(
+        F.col("id").alias("neighbor_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.when(F.col("id") < n_per, F.lit(10.0)).otherwise(F.lit(-10.0))
+            + (F.pmod(F.xxhash64(F.col("id").cast("string"), d.cast("string")), 100) / 100.0),
+        ).alias("cv"),
+    )
+    return base.withColumn("_v", array_to_vector(F.col("cv").cast("array<double>"))).repartitionByRange(
+        8, "neighbor_id"
+    )
+
+
+def test_ivf_fit_sample_not_prefix_biased(spark):
+    """VERDICT #3 / advisor: a bare limit() fits KMeans on the ordered
+    prefix — on a content-sorted corpus every centroid lands in cluster A
+    and cluster B is invisible to the quantizer. The sampled fit must place
+    at least one centroid in EACH cluster."""
+    from sparklead.similarity import _ivf_fit
+
+    vecs = _two_cluster_vecs(spark)
+
+    def sides(model):
+        centers = [list(c) for c in model.clusterCenters()]
+        return (
+            sum(1 for c in centers if sum(c) > 0),   # cluster-A-side centroids
+            sum(1 for c in centers if sum(c) < 0),   # cluster-B-side centroids
+        )
+
+    # prefix fit (fraction=1.0 reproduces the old limit-only behavior):
+    # 100-row prefix of a range-partitioned corpus = cluster A only
+    a, b = sides(_ivf_fit(vecs, n_centroids=4, seed=42, fit_sample=100, fit_fraction=1.0))
+    assert b == 0, "prefix fit unexpectedly saw cluster B — fixture broken"
+    # sampled fit: the draw spans the corpus, both clusters get centroids
+    a, b = sides(_ivf_fit(vecs, n_centroids=4, seed=42, fit_sample=100, fit_fraction=0.05))
+    assert a >= 1 and b >= 1
+
+
+def test_ivf_fit_tiny_corpus_fallback(spark):
+    """Corpora too small for the sample to yield n_centroids rows must fall
+    back to the prefix fit instead of dying."""
+    from sparklead.similarity import _ivf_fit, ivf_topk
+
+    vecs = _two_cluster_vecs(spark, n_per=20)
+    model = _ivf_fit(vecs, n_centroids=8, seed=42, fit_sample=100, fit_fraction=0.01)
+    assert len(model.clusterCenters()) >= 1
+    # end-to-end still returns neighbors on a tiny corpus
+    corpus = vecs.select("neighbor_id", F.col("cv").alias("embedding")).withColumnRenamed(
+        "neighbor_id", "vec_id"
+    )
+    out = ivf_topk(corpus.filter(F.col("vec_id") < 3), corpus, k=2, n_centroids=4, n_probe=2)
+    assert out.count() > 0
+
+
+# ------------------------------------------------- miner cache hygiene
+
+def test_miners_leave_no_persisted_frames(spark, sf_dir):
+    """VERDICT #4: parse_brain / parse_iplom / parse_pl_iplom must not
+    accrete storage in long-lived sessions — after the call returns AND the
+    outputs are materialized, no RDD remains persisted."""
+    from sparklead import synth as _synth
+    from sparklead.enhancers import eventlog as E
+    from sparklead.mining.brain import parse_brain
+    from sparklead.mining.iplom import parse_iplom
+    from sparklead.mining.pl_iplom import parse_pl_iplom
+    from sparklead.sources.hdfs import load_hdfs_events
+
+    df = E.words(E.normalize(load_hdfs_events(_synth.raw_log_corpus(spark, 500))), "e_message_normalized")
+    spark.catalog.clearCache()
+    for parse in (parse_brain, parse_iplom, parse_pl_iplom):
+        assigned, templates = parse(df, "e_words")
+        assert templates.count() > 0
+        assert assigned.count() == 500
+        jsc = spark.sparkContext._jsc
+        assert jsc.getPersistentRDDs().size() == 0, f"{parse.__name__} leaked cache"
+
+
+def test_brain_content_key_partition_invariant(spark):
+    """The content-hash line id must make Brain's clustering identical under
+    any partitioning (the old monotonically_increasing_id needed a cache to
+    pin one numbering)."""
+    from sparklead import synth as _synth
+    from sparklead.enhancers import eventlog as E
+    from sparklead.mining.brain import parse_brain
+    from sparklead.sources.hdfs import load_hdfs_events
+
+    df = E.words(E.normalize(load_hdfs_events(_synth.raw_log_corpus(spark, 400))), "e_message_normalized")
+    t1 = parse_brain(df, "e_words")[1].select("template", "cluster_size").collect()
+    t2 = parse_brain(df.repartition(13), "e_words")[1].select("template", "cluster_size").collect()
+    key = lambda rows: sorted((r["template"], r["cluster_size"]) for r in rows)
+    assert key(t1) == key(t2)
+
+
+# ------------------------------------------------- folded dim probes
+
+def test_dim_param_skips_probe_job(spark, sf_dir):
+    """VERDICT #5: with dim supplied, building the near-dup candidate frame
+    must run exactly ONE driver job (the plane-weights materialization);
+    without it, the one-row dim probe adds a second."""
+    from sparklead.dedup import embedding_neardup_candidates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    tracker = spark.sparkContext.statusTracker()
+
+    before = len(tracker.getJobIdsForGroup())
+    embedding_neardup_candidates(emb, dim=dim)  # plan construction only
+    with_dim = len(tracker.getJobIdsForGroup()) - before
+
+    before = len(tracker.getJobIdsForGroup())
+    embedding_neardup_candidates(emb)
+    without_dim = len(tracker.getJobIdsForGroup()) - before
+
+    assert with_dim == 1  # plane_weights only
+    assert without_dim == 2  # + the dim probe
+
+
+# ------------------------------------------------- components: depth + signal
+
+def test_neardup_components_adversarial_chain(spark):
+    """VERDICT #7 / advisor: a chain longer than max_iter hops cannot
+    converge — the truncated result must (a) warn, (b) err on the
+    UNDER-dedup side (multiple labels for one true group), and (c) leave
+    only the returned labels persisted (balanced per-iteration
+    persist/unpersist). A large-enough max_iter converges with no warning."""
+    from sparklead.dedup import neardup_components
+
+    n = 14  # chain 0-1-2-...-13 (13 hops)
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    spark.catalog.clearCache()
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        labels = neardup_components(pairs, max_iter=3)
+        comps = {r["id"]: r["component"] for r in labels.collect()}
+    # truncation = under-dedup: more than one component label survives,
+    # but label 0 has propagated exactly max_iter hops
+    assert len(set(comps.values())) > 1
+    assert comps[3] == 0 and comps[4] != 0
+    # persist balance: exactly the returned frame remains cached
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() == 1
+    labels.unpersist()
+    assert jsc.getPersistentRDDs().size() == 0
+    # converged run: one component, no warning
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        labels2 = neardup_components(pairs, max_iter=n)
+        assert {r["component"] for r in labels2.collect()} == {0}
+    labels2.unpersist()
+
+
+# ------------------------------------------------- streaming generation reset
+
+def test_stream_reset_clears_stale_multibatch_generation(spark, tmp_path):
+    """Advisor fix: pre-checkpoint-loss run committed MULTIPLE batches; the
+    restarted availableNow run repacks all input into fewer batches. The old
+    overwrite-same-id logic left stale batch_id=1..k dirs double-counting —
+    the generation reset must wipe them and start a fresh manifest."""
+    import shutil
+
+    from sparklead.streaming import stream_route
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    pt = synth.pretokenized(spark, 300)
+    # three single-file appends -> 3 micro-batches at maxFilesPerTrigger=1
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        pt.filter(
+            (F.col("doc_id") >= f"doc_{lo:09d}") & (F.col("doc_id") < f"doc_{hi:09d}")
+        ).coalesce(1).write.mode("append").parquet(inp)
+    stream_route(
+        spark, inp, out, synth.source_meta(spark), max_files_per_trigger=1
+    ).awaitTermination(180)
+    sink = os.path.join(out, "seq_features")
+    assert spark.read.parquet(sink).count() == 300
+    assert len([d for d in os.listdir(sink) if d.startswith("batch_id=")]) == 3
+    # lose the checkpoint, grow the input; rerun UNBOUNDED (all 4 files
+    # repack into one new batch 0)
+    shutil.rmtree(os.path.join(out, "_checkpoint"))
+    pt2 = synth.pretokenized(spark, 400).filter(F.col("doc_id") >= "doc_000000300")
+    pt2.coalesce(1).write.mode("append").parquet(inp)
+    stream_route(spark, inp, out, synth.source_meta(spark)).awaitTermination(180)
+    # no double count: stale batch_id=1,2 dirs of the dead generation wiped
+    assert spark.read.parquet(sink).count() == 400
+    assert len([d for d in os.listdir(sink) if d.startswith("batch_id=")]) == 1
+    manifest = [json.loads(l) for l in open(os.path.join(out, "stream_manifest.jsonl"))]
+    committed = [m for m in manifest if m.get("committed")]
+    assert [m["batch_id"] for m in committed] == [0]
+    # row totals in the fresh manifest match the sink exactly
+    rows = [m["rows"] for m in manifest if "rows" in m and "committed" not in m]
+    assert sum(rows) == 400
+
+
+# ------------------------------------------------- resume schema validation
+
+def test_route_resume_rewrites_on_schema_drift(spark, tmp_path):
+    """Advisor fix: a complete sink whose schema no longer matches what the
+    thunk would write (older pipeline layout) must be REWRITTEN on resume,
+    not skipped into a downstream AnalysisException."""
+    from sparklead import routing
+
+    out = str(tmp_path / "sinks")
+    v1 = lambda: spark.range(10).select("id")
+    v2 = lambda: spark.range(10).select("id", (F.col("id") * 2).alias("extra"))
+    m1 = routing.route({"s": v1}, out)
+    assert "resumed" not in m1["s"]
+    # same schema -> resumed, byte-identical skip
+    m2 = routing.route({"s": v1}, out, resume=True)
+    assert m2["s"].get("resumed") is True
+    # schema drift -> rewritten with the new columns
+    m3 = routing.route({"s": v2}, out, resume=True)
+    assert "resumed" not in m3["s"]
+    assert set(spark.read.parquet(os.path.join(out, "s")).columns) == {"id", "extra"}
+
+
+def test_pipeline_resume_from_old_layout(spark, tmp_path):
+    """End-to-end: an out_dir whose token_vectors sink lacks the carried
+    seq_features scalars (pre-staged layout) must resume cleanly — the
+    stale sink is rewritten and seq_features derives without error."""
+    from sparklead import routing
+    from sparklead.pipeline import run_pipeline, token_vectors, parse_stage, enrich_stage
+
+    out = str(tmp_path / "pipe")
+    pt, meta = synth.pretokenized(spark, 500), synth.source_meta(spark)
+    # simulate the OLD layout: token_vectors WITHOUT keep columns
+    enriched = enrich_stage(parse_stage(pt), meta)
+    routing.route({"token_vectors": lambda: token_vectors(enriched)}, out)
+    res = run_pipeline(pt, meta, out_dir=out, resume=True)
+    assert res["manifests"]["seq_features"]["rows"] == 500
+    tv_cols = set(spark.read.parquet(os.path.join(out, "token_vectors")).columns)
+    assert {"label", "region", "template_id"} <= tv_cols
+
+
+# ------------------------------------------------- gated dedup decision layer
+
+def test_embedding_neardup_gate_carries_decision(spark, sf_dir):
+    """VERDICT #8: the gated embedding_neardup frame must carry the
+    keep/drop decision — n_kept == corpus - n_dropped, and every pair row's
+    component is the group's kept (minimum) id."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["embedding_neardup"](spark, sf_dir).collect()
+    assert out
+    r0 = out[0]
+    corpus_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    n_seeded = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") % 5 == 0
+    ).count()
+    assert r0["n_kept"] + r0["n_dropped"] == corpus_n + n_seeded
+    # seeded pairs a <-> a+10000: component == a == min id of the group
+    for r in out:
+        assert r["component"] == min(r["a_id"], r["b_id"]) or r["component"] < r["a_id"]
+        assert r["group_size"] >= 2
