@@ -145,9 +145,9 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share a sign-LSH bucket, then exact rank.
 
-    Recall grows with fewer planes (bigger buckets); production recipe is
-    multi-probe or multiple tables — this single-table variant keeps the
-    plan one equi-join + one window.
+    Recall grows with fewer planes (bigger buckets); the production recipe
+    is multiple tables — ``lsh_topk_banded`` below. This single-table
+    variant keeps the plan one equi-join + one window.
 
     Pass ``dim`` (the embedding width) when known to skip the one-row probe
     job that otherwise derives it (round-4: one driver job saved per call).
@@ -174,6 +174,72 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_topk_banded(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-table sign-LSH top-k — the production ANN recipe the
+    single-table ``lsh_topk`` defers to.
+
+    ``n_tables`` independent hash tables (distinct plane sets via
+    ``plane_offset``, same construction as dedup.embedding_neardup): a
+    candidate needs to collide in >= 1 table, so recall ~ 1-(1-p^n_planes)
+    ^n_tables instead of p^n_planes — more planes per table keep buckets
+    small (candidate volume bounded) while more tables recover the recall
+    that small buckets cost. Plan shape at scale: the corpus scan explodes
+    to n_tables (id, bucket) rows map-side, joins the BROADCAST exploded
+    query side on the bucket key (no corpus shuffle), pairs colliding in
+    several tables dedupe on the candidate-sized frame, then exact cosine +
+    the per-query top-k window. One corpus scan, candidate-bounded
+    shuffles only.
+    """
+    if dim is None:
+        dim_row = corpus.select(F.size(emb_col).alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row else 0
+    w = (
+        plane_weights(corpus.sparkSession, list(range(n_tables * n_planes)), dim)
+        if dim
+        else None
+    )
+    keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{t}:"),
+                signbucket_expr(
+                    F.col(emb_col), n_planes, plane_offset=t * n_planes, weights=w
+                ).cast("string"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    q = queries.select(
+        F.col(key_col).alias("query_id"), F.col(emb_col).alias("qv"), F.explode(keys).alias("bucket")
+    )
+    c = corpus.select(
+        F.col(key_col).alias("neighbor_id"), F.col(emb_col).alias("cv"), F.explode(keys).alias("bucket")
+    )
+    cand = (
+        c.join(broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )

@@ -335,3 +335,62 @@ def test_embedding_neardup_gate_carries_decision(spark, sf_dir):
     for r in out:
         assert r["component"] == min(r["a_id"], r["b_id"]) or r["component"] < r["a_id"]
         assert r["group_size"] >= 2
+
+
+# ------------------------------------------------- banded LSH top-k
+
+def _lsh_corpus(spark, n: int = 400, dim: int = 16, n_q: int = 40):
+    """Deterministic pseudo-random corpus + queries that are small
+    perturbations of corpus vectors (true top-1 neighbor = the source)."""
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (F.pmod(F.xxhash64(F.col("id").cast("string"), d.cast("string")), 2001) - 1000)
+            / 1000.0,
+        ).alias("embedding"),
+    )
+    q = base.filter(F.col("vec_id") < n_q).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x
+            + (F.pmod(F.xxhash64(x.cast("string"), F.lit("q")), 101) - 50) / 2000.0,
+        ).alias("embedding"),
+    )
+    return base, q
+
+
+def test_lsh_banded_beats_single_table(spark):
+    """Multi-table sign-LSH: same per-table bucket size (16 planes) but 4
+    independent tables — recall of the true (seeded) nearest neighbor must
+    strictly improve over one 16-plane table, at bounded candidate volume."""
+    from sparklead.similarity import lsh_topk, lsh_topk_banded
+
+    base, q = _lsh_corpus(spark)
+
+    def recall(out):
+        hits = out.filter(
+            (F.col("rank") == 1) & (F.col("neighbor_id") == F.col("query_id") - 100_000)
+        ).count()
+        return hits / 40.0
+
+    r_single = recall(lsh_topk(q, base.unionByName(q), k=1, n_planes=16))
+    r_banded = recall(lsh_topk_banded(q, base.unionByName(q), k=1, n_planes=16, n_tables=4))
+    assert r_banded > r_single
+    assert r_banded >= 0.6
+
+
+def test_lsh_banded_one_table_equals_single(spark):
+    """n_tables=1 must reproduce the single-table lsh_topk exactly (same
+    plane set, same candidates, same ranks)."""
+    from sparklead.similarity import lsh_topk, lsh_topk_banded
+
+    base, q = _lsh_corpus(spark, n=200, n_q=15)
+    corpus = base.unionByName(q)
+    a = lsh_topk(q, corpus, k=3, n_planes=6)
+    b = lsh_topk_banded(q, corpus, k=3, n_planes=6, n_tables=1)
+    key = lambda df: sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()
+    )
+    assert key(a) == key(b)
