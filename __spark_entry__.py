@@ -842,8 +842,8 @@ def _q_parser_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.9 miner family; per-miner golden-template checks live in pytest."""
     from sparklead.mining import parse_ael, parse_brain, parse_lenma, parse_spell
     from sparklead.mining.drain import DrainMiner
-    from sparklead.mining.iplom import iplom_templates
-    from sparklead.mining.pl_iplom import pl_iplom_templates
+    from sparklead.mining.iplom import parse_iplom
+    from sparklead.mining.pl_iplom import parse_pl_iplom
 
     df = _mined_corpus(spark).cache()
     parts = []
@@ -860,13 +860,23 @@ def _q_parser_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("miner_fp", F.expr("bit_xor(xxhash64(template)) over (partition by miner)"))
         )
 
+    # six of the seven lanes are EAGER (Drain/Spell/LenMa fit+collect their
+    # template sets; Brain/IPLoM/PL-IPLoM collect their template-sized
+    # mappings, round-4) and run while the corpus is cached, so the cache is
+    # RELEASED before returning (round-4 hygiene: gate sessions no longer
+    # accrete a cached corpus per run). Values identical to the lazy
+    # *_templates forms: parse_* mines with the same defaults. The one lazy
+    # lane (AEL's applyInPandas mapping) recomputes the deterministic,
+    # corpus-sized synth lineage when the gate materializes — trivially
+    # cheap, and deterministic by construction.
     tag("drain", DrainMiner().fit(df, "e_words").templates_df(spark))
-    tag("iplom", iplom_templates(df, "e_words"))
-    tag("pl_iplom", pl_iplom_templates(df, "e_words"))
+    tag("iplom", parse_iplom(df, "e_words")[1])
+    tag("pl_iplom", parse_pl_iplom(df, "e_words")[1])
     tag("ael", parse_ael(df, column="e_message_normalized")[1])
     tag("brain", parse_brain(df, "e_words")[1])
     tag("spell", parse_spell(df, "e_words")[1].templates_df(spark))
     tag("lenma", parse_lenma(df, "e_words")[1].templates_df(spark))
+    df.unpersist()
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
