@@ -89,3 +89,28 @@ def test_detector_scoring_broadcasts_model_tables(spark):
     docs = spark.createDataFrame([(i, ["a", "b"]) for i in range(50)], "seq_id int, e_words array<string>")
     out = rarity_score(docs, rarity_fit(docs))
     assert "BroadcastHashJoin" in _physical(out)
+
+
+def test_banded_lsh_broadcasts_queries_no_corpus_shuffle(spark, sf_dir):
+    """lsh_topk_banded's candidate join must broadcast the (exploded) QUERY
+    side and never shuffle the corpus before the join: the corpus lineage up
+    to the BroadcastHashJoin is scan -> bucket-explode, no Exchange. The
+    only corpus-volume shuffles allowed are candidate-sized (pair dedupe +
+    the per-query window)."""
+    from sparklead.similarity import lsh_topk_banded
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk_banded(q, emb, k=3, n_planes=8, n_tables=2)
+    plan = _physical(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # corpus side reaches the join unshuffled: between the corpus scan and
+    # the join there is no Exchange (the broadcast exchange belongs to the
+    # query side; candidate dedupe/window exchanges sit above the join)
+    join_pos = plan.index("BroadcastHashJoin")
+    below_join = plan[join_pos:]
+    corpus_scan = below_join.index("Scan parquet")
+    # the non-broadcast exchanges in the subtree between join and the
+    # corpus scan would appear in this slice
+    assert "Exchange hashpartitioning" not in below_join[:corpus_scan]

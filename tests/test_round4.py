@@ -394,3 +394,52 @@ def test_lsh_banded_one_table_equals_single(spark):
         (r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()
     )
     assert key(a) == key(b)
+
+
+# ------------------------------------------------- explicit skew handling
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must reproduce the plain equi-join exactly (inner and
+    left) on a hot-key-skewed input, while joining on (key, salt) so the hot
+    key's rows spread across n_salts reduce partitions."""
+    from sparklead.skew import salted_join
+
+    # 90% of rows share one hot key
+    big = spark.range(2000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), F.col("id") % 7)
+        ).alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    small = spark.createDataFrame(
+        [("hot", "HOT"), ("k1", "K1"), ("k3", "K3"), ("unmatched", "X")],
+        "k string, label string",
+    )
+    for how in ("inner", "left"):
+        plain = big.join(small, "k", how)
+        salted = salted_join(big, small, "k", n_salts=8, how=how)
+        keyf = lambda df: sorted(
+            (r["row_id"], r["k"], r["v"], r["label"]) for r in df.collect()
+        )
+        assert keyf(salted) == keyf(plain)
+    # the join condition really includes the salt (hot key spread)
+    plan = salted_join(big, small, "k", n_salts=8)._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+
+def test_salted_distinct_count_exact(spark):
+    """Sum of per-(key, item-hash-bucket) distinct counts == exact distinct
+    count per key, including a hot key holding most of the distinct mass."""
+    from sparklead.skew import salted_distinct_count
+
+    df = spark.range(5000).select(
+        F.when(F.col("id") % 5 < 4, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 997).cast("string").alias("item"),
+    )
+    got = {r["k"]: r["n_distinct"] for r in salted_distinct_count(df, "k", "item").collect()}
+    want = {
+        r["k"]: r["d"]
+        for r in df.groupBy("k").agg(F.countDistinct("item").alias("d")).collect()
+    }
+    assert got == want
