@@ -44,14 +44,21 @@ def _settle() -> None:
     time.sleep(3)
 
 
-def hardware_speedup(procs: int) -> float:
+def hardware_speedup(procs: int, repeats: int = 2) -> float:
     """Aggregate throughput (work-units/sec) of `procs` identical CPU-bound
-    processes; the machine's true parallel capacity at that level."""
-    t0 = time.time()
-    ps = [subprocess.Popen([sys.executable, "-c", _BUSY], stdout=subprocess.DEVNULL) for _ in range(procs)]
-    for p in ps:
-        p.wait()
-    return procs / (time.time() - t0)
+    processes; the machine's true parallel capacity at that level. Best of
+    ``repeats`` (round-4: a single contended draw — especially for the
+    1-proc BASELINE — skews every normalized number; a contended baseline
+    even makes the curve superlinear)."""
+    best = 0.0
+    for _ in range(repeats):
+        _settle()
+        t0 = time.time()
+        ps = [subprocess.Popen([sys.executable, "-c", _BUSY], stdout=subprocess.DEVNULL) for _ in range(procs)]
+        for p in ps:
+            p.wait()
+        best = max(best, procs / (time.time() - t0))
+    return best
 
 
 def run_at(cpus: int, n_docs: int, input_dir: str, repeats: int = 1) -> dict:
@@ -103,10 +110,12 @@ def main() -> None:
             capture_output=True,
             text=True,
         )
-        # 3. N -> 4N inside the hardware-linear region
+        # 3. N -> 4N inside the hardware-linear region; best-of-3 per level
+        # (round-4: single-shot levels are ±30%-noise draws on this VM —
+        # one contended draw at either level fabricates a pass OR a fail)
         lo, hi = 2, 8
-        r_lo = run_at(lo, n_docs, input_dir)
-        r_hi = run_at(hi, n_docs, input_dir)
+        r_lo = run_at(lo, n_docs, input_dir, repeats=3)
+        r_hi = run_at(hi, n_docs, input_dir, repeats=3)
         # 4. oversubscribed pair, reported with hardware normalization
         r8, r32 = run_at(8, n_docs, input_dir, repeats=1), run_at(32, n_docs, input_dir, repeats=1)
     finally:
@@ -152,7 +161,8 @@ def main() -> None:
         "## Pipeline N→4N (same job, same materialized input, separate JVMs)",
         "",
         f"parse→enrich→route→aggregate over {n_docs:,} pre-tokenized sequences,",
-        "best of 2 runs per level, `sync` + settle between runs:",
+        "best of 3 runs per level (hardware calibration best of 2),",
+        "`sync` + settle between runs:",
         "",
         "| parallelism | wall (s) | throughput (seqs/sec) |",
         "|---|---|---|",
