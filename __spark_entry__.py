@@ -161,12 +161,18 @@ def _q_seq_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rollup; the distinct-user count goes through the HOT-KEY-SAFE
+    two-stage salted path (skew.salted_distinct_count, round-4) — the oracle's
+    plain count(DISTINCT ...) hash-verifies the salted decomposition exactly."""
+    from sparklead.skew import salted_distinct_count
+
     ev = _read(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    base = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 6).alias("avg_value"),
-        F.countDistinct("user_id").alias("n_users"),
     )
+    nd = salted_distinct_count(ev, "event_type", "user_id", n_salts=16)
+    return base.join(nd.withColumnRenamed("n_distinct", "n_users"), "event_type")
 
 
 def _q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,11 +227,16 @@ def _q_semi_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_aggregate_back_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SequenceEnhancer join-back shape (sequence.py:15): agg joined to seq table."""
+    """SequenceEnhancer join-back shape (sequence.py:15): agg joined to seq
+    table — routed through the skew-safe SALTED join (skew.salted_join,
+    round-4): the oracle's plain equi-join hash-verifies that the
+    salt-scatter/replicate decomposition is row-for-row identical."""
+    from sparklead.skew import salted_join
+
     ev = _read(spark, sf_dir, "events")
     seqs = ev.select(F.col("user_id").alias("seq_id")).distinct()
     agg = ev.groupBy(F.col("user_id").alias("seq_id")).agg(F.count(F.lit(1)).alias("seq_len"))
-    return seqs.join(agg, "seq_id")
+    return salted_join(seqs, agg, "seq_id", n_salts=8)
 
 
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,17 +732,29 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans-cell) approximate nearest neighbors — the ANN scale path.
-    Rows-only: KMeans centroids aren't reproducible in SQL. The rounded
-    cosine column makes the entry self-certifying: centroid/assignment drift
-    changes cosines even when the row count stays put."""
-    from sparklead.similarity import ivf_topk
+    """BOTH approximate-NN scale paths in one gated frame, tagged by
+    ``method``: IVF (KMeans-cell) and multi-table banded sign-LSH
+    (similarity.lsh_topk_banded, merged here round-4 to stay within the
+    50-entry gate). Rows-only: KMeans centroids / xxhash64 sign buckets
+    aren't reproducible in SQL. The rounded cosine column makes the entry
+    self-certifying: centroid/bucket/assignment drift changes cosines even
+    when the row count stays put."""
+    from sparklead.similarity import ivf_topk, lsh_topk_banded
 
     emb = _fan(_read(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(q, emb, k=3, n_centroids=8, n_probe=3).select(
-        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    # fit_fraction sized for the testdata corpus (hundreds-to-thousands of
+    # rows) so the gate exercises the SAMPLED cross-corpus fit, not the
+    # tiny-corpus prefix fallback
+    ivf = ivf_topk(q, emb, k=3, n_centroids=8, n_probe=3, fit_fraction=0.5).select(
+        F.lit("ivf").alias("method"),
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"),
     )
+    lsh = lsh_topk_banded(q, emb, k=3, n_planes=8, n_tables=4).select(
+        F.lit("lsh_banded").alias("method"),
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"),
+    )
+    return ivf.unionByName(lsh)
 
 
 def _q_embedding_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -998,7 +1021,14 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is gated too: every row carries the component's member count and the
     # corpus-wide survivor totals, self-certifying the decision layer —
     # n_kept must equal corpus size minus dropped non-representatives.
-    comp = neardup_components(pairs)
+    # the labels frame neardup_components returns is PERSISTED (caller-owned
+    # cache, see its contract); the gate entry takes ownership by collecting
+    # the vertex-sized labels (bounded: only ids touched by near-dup pairs)
+    # to literal rows and unpersisting — no cached frame outlives the entry
+    comp_f = neardup_components(pairs)
+    comp_rows = comp_f.collect()
+    comp_f.unpersist()
+    comp = spark.createDataFrame(comp_rows, comp_f.schema)
     kept = dedup_by_components(corpus, pairs, key_col="vec_id", components=comp)
     decision_stats = kept.agg(F.count(F.lit(1)).alias("n_kept")).crossJoin(
         comp.agg(
@@ -1448,11 +1478,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "auc_threshold": """
             WITH s AS (
-              -- round(score, 6) BEFORE the histogram, mirroring the Spark
-              -- side's quantize=6: bounds the sweep windows by score RANGE
-              -- instead of score cardinality (continuous doubles would make
-              -- the histogram data-sized)
-              SELECT round(value, 6) AS score, (event_type = 'error')::int AS y FROM events
+              -- quantize BEFORE the histogram, mirroring the Spark side's
+              -- quantize=6: bounds the sweep windows by score RANGE instead
+              -- of score cardinality (continuous doubles would make the
+              -- histogram data-sized). floor(x*1e6+0.5)/1e6, NOT round():
+              -- both engines evaluate this with the same IEEE double ops,
+              -- while their native round() half-way semantics differ
+              SELECT floor(value * 1000000.0 + 0.5) / 1000000.0 AS score,
+                     (event_type = 'error')::int AS y FROM events
             ), hist AS (
               SELECT score, sum(y)::bigint AS pos, count(*)::bigint AS n
               FROM s GROUP BY score

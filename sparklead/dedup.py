@@ -362,16 +362,31 @@ def neardup_components(
         labels = new_labels
         if changed == 0:
             break
-    edges_self.unpersist()
     if changed > 0:
-        warnings.warn(
-            f"neardup_components: label propagation did not converge within "
-            f"max_iter={max_iter} rounds ({changed} labels still changing) — "
-            f"groups with chains longer than max_iter hops remain SPLIT "
-            f"(under-dedup); raise max_iter",
-            RuntimeWarning,
-            stacklevel=2,
+        # the LAST allowed round changed labels — that alone doesn't prove
+        # truncation (the final round may have been exactly the converging
+        # one, e.g. graph diameter == max_iter). One extra un-persisted
+        # PROBE round distinguishes the two; warn only when labels would
+        # still move.
+        probe_changed = (
+            edges_self.join(labels, edges_self.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .join(labels.withColumnRenamed("component", "_old"), "id")
+            .filter(F.col("component") != F.col("_old"))
+            .count()
         )
+        if probe_changed > 0:
+            warnings.warn(
+                f"neardup_components: label propagation did not converge "
+                f"within max_iter={max_iter} rounds ({probe_changed} labels "
+                f"still changing) — groups with chains longer than max_iter "
+                f"hops remain SPLIT (under-dedup); raise max_iter",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    edges_self.unpersist()
     return labels
 
 

@@ -228,10 +228,19 @@ def _score_hist(
     score to ``quantize`` decimals first bounds the histogram by the score
     RANGE (<= range * 10^quantize + 1 rows; ~2e6 for [0,1] scores at the
     default 6), which perturbs AUC/F1 by < 1e-6 — set ``quantize=None``
-    only when exact tie handling of raw doubles matters more than scale."""
+    only when exact tie handling of raw doubles matters more than scale.
+
+    The quantizer is ``floor(score * 10^q + 0.5) / 10^q`` rather than
+    ``round(score, q)``: both Spark and DuckDB evaluate that expression
+    with the SAME IEEE double operations, so the oracle bins boundary
+    scores identically, whereas the engines' native round() differ in
+    half-way handling (Spark: decimal HALF_UP on the shortest repr;
+    DuckDB: binary-scaled). Assumes |score|*10^q fits in int64 (Spark's
+    floor(double) yields bigint) — true for any probability/rarity score."""
     s = F.col(score_col)
     if quantize is not None:
-        s = F.round(s, quantize)
+        scale = F.lit(float(10 ** quantize))
+        s = F.floor(s * scale + F.lit(0.5)) / scale
     return scores.groupBy(s.alias("score")).agg(
         F.sum(F.col(label_col).cast("long")).alias("pos"), F.count(F.lit(1)).alias("n")
     )

@@ -83,7 +83,12 @@ def route(
     ``select(*seq_cols)`` die with an AnalysisException. A resumed sink is
     only skipped when its manifest-recorded schema EQUALS the schema the
     thunk would write now; any drift (missing/extra columns, type changes)
-    triggers a rewrite instead of a broken resume.
+    triggers a rewrite instead of a broken resume. Two deliberate
+    trust-the-manifest escapes keep resume as robust as before: a manifest
+    with no recorded schema (foreign writer) resumes as-is, and a thunk
+    whose PLAN cannot even be analyzed (e.g. the upstream input was
+    archived after the sinks completed — previously a pure manifest-read
+    no-op) also resumes as-is rather than failing the whole route call.
 
     Independent sinks are written from CONCURRENT driver threads (the
     standard Spark multi-job pattern): the scheduler interleaves their
@@ -97,7 +102,12 @@ def route(
         if resume and sink_complete(path):
             with open(os.path.join(path, MANIFEST)) as f:
                 manifest = json.load(f)
-            if manifest.get("schema") == thunk().schema.simpleString():
+            recorded = manifest.get("schema")
+            try:
+                expected = thunk().schema.simpleString() if recorded else recorded
+            except Exception:
+                expected = recorded  # plan not analyzable -> trust the manifest
+            if recorded == expected:
                 results[name] = manifest | {"resumed": True}
             else:
                 pending[name] = thunk

@@ -249,16 +249,27 @@ def _ivf_fit(vecs: DataFrame, n_centroids: int, seed: int, fit_sample: int, fit_
     """Fit the IVF coarse quantizer on a bounded cross-corpus draw
     (``sample(fit_fraction).limit(fit_sample)`` — see ivf_topk docstring),
     falling back to the plain prefix when the sample is too small for
-    ``n_centroids``."""
+    ``n_centroids``. The fallback WARNS with the original error: a silent
+    fallback on a transient failure would quietly reintroduce the
+    prefix-bias this fit exists to remove."""
+    import warnings
+
     from pyspark.ml.clustering import KMeans
 
     km = KMeans(k=n_centroids, seed=seed, featuresCol="_v", predictionCol="cell")
     fit_vecs = vecs.select("_v").sample(fraction=fit_fraction, seed=seed).limit(fit_sample)
     try:
         return km.fit(fit_vecs)
-    except Exception:
-        # degenerate tiny corpus: the sample yielded < n_centroids rows —
-        # fall back to the prefix, which at that size is the whole corpus
+    except Exception as e:
+        warnings.warn(
+            f"_ivf_fit: sampled KMeans fit failed ({type(e).__name__}: {e}); "
+            f"falling back to the prefix fit — correct only when the corpus "
+            f"is smaller than ~n_centroids/fit_fraction rows (then the "
+            f"'prefix' is the whole corpus); on a large sorted corpus the "
+            f"fallback centroids are PREFIX-BIASED",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return km.fit(vecs.select("_v").limit(fit_sample))
 
 
@@ -272,7 +283,7 @@ def ivf_topk(
     n_probe: int = 2,
     seed: int = 42,
     fit_sample: int = 100_000,
-    fit_fraction: float = 0.1,
+    fit_fraction: float = 0.01,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus with KMeans
     centroids, probe the ``n_probe`` nearest cells per query, exact-rank
@@ -287,12 +298,16 @@ def ivf_topk(
     distribution and recall collapses for everything outside it, and the
     prefix is partition-layout-dependent. Pre-sampling needs NO count job
     and still short-circuits: the limit stops scanning once enough sampled
-    rows surface, but because only ~``fit_fraction`` of each partition
-    survives the filter, the scan spans ~1/fit_fraction more partitions —
-    i.e. the fit rows are drawn across the corpus. Tune ``fit_fraction`` ~=
-    fit_sample / corpus_rows for full-corpus coverage; on corpora too small
-    for the sample to yield ``n_centroids`` rows the fit falls back to the
-    plain prefix (which then IS the whole corpus).
+    rows surface, so the draw reaches ~fit_sample/fit_fraction rows deep
+    (10M at the defaults) — 1/fit_fraction× wider than the bare prefix.
+    BE HONEST ABOUT THE DEFAULT'S LIMIT: on a corpus much larger than
+    fit_sample/fit_fraction rows the draw is still a (deep) prefix slice;
+    for full-corpus coverage set ``fit_fraction <~ fit_sample /
+    corpus_rows`` (the caller usually knows the corpus scale; a
+    metadata-only parquet row count costs no data scan). On corpora too
+    small for the sample to yield ``n_centroids`` rows the fit falls back
+    to the plain prefix with a RuntimeWarning (at that size the 'prefix'
+    is the whole corpus).
 
     The raw embedding is CARRIED THROUGH the vectorized frame, so cell
     assignment and the verify column ``cv`` come from ONE corpus scan — no

@@ -232,6 +232,14 @@ def test_neardup_components_adversarial_chain(spark):
         labels2 = neardup_components(pairs, max_iter=n)
         assert {r["component"] for r in labels2.collect()} == {0}
     labels2.unpersist()
+    # diameter == max_iter exactly: the LAST round makes the converging
+    # change — the probe must distinguish this from truncation (no warning)
+    short = spark.range(3).select(F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id"))
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        labels3 = neardup_components(short, max_iter=3)
+        assert {r["component"] for r in labels3.collect()} == {0}
+    labels3.unpersist()
 
 
 # ------------------------------------------------- streaming generation reset

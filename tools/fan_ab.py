@@ -18,15 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-
-def _force(df):
-    cols = [F.col(c).cast("string") for c in df.columns]
-    df.select(F.xxhash64(F.struct(*cols)).alias("h")).agg(F.expr("bit_xor(h)")).collect()
-
-
-def _median(xs):
-    s = sorted(xs)
-    return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+# the canonical bench helpers — A/B timings must force evaluation and
+# aggregate exactly like the headline bench or the numbers aren't comparable
+from bench import _force, _median  # noqa: E402
 
 
 def main() -> None:
