@@ -451,3 +451,37 @@ def test_salted_distinct_count_exact(spark):
         for r in df.groupBy("k").agg(F.countDistinct("item").alias("d")).collect()
     }
     assert got == want
+
+
+def test_route_resume_trust_escapes(spark, tmp_path):
+    """Two deliberate trust-the-manifest escapes: (a) a manifest with no
+    recorded schema (foreign writer) resumes as-is; (b) a thunk whose plan
+    is no longer analyzable (upstream input archived after the sinks
+    completed) resumes as-is instead of failing the route call."""
+    import json as _json
+    import shutil
+
+    from sparklead import routing
+
+    out = str(tmp_path / "sinks")
+    # (a) strip the recorded schema -> drifted thunk still resumes
+    routing.route({"a": lambda: spark.range(5).select("id")}, out)
+    mpath = os.path.join(out, "a", routing.MANIFEST)
+    m = _json.load(open(mpath))
+    del m["schema"]
+    _json.dump(m, open(mpath, "w"))
+    r = routing.route(
+        {"a": lambda: spark.range(5).select("id", (F.col("id") * 2).alias("x"))},
+        out,
+        resume=True,
+    )
+    assert r["a"].get("resumed") is True
+    # (b) thunk reads an input that no longer exists -> resume, no raise
+    src = str(tmp_path / "src")
+    spark.range(7).write.parquet(src)
+    routing.route({"b": lambda: spark.read.parquet(src).select("id")}, out)
+    shutil.rmtree(src)
+    r2 = routing.route(
+        {"b": lambda: spark.read.parquet(src).select("id")}, out, resume=True
+    )
+    assert r2["b"].get("resumed") is True

@@ -180,7 +180,7 @@ def main() -> None:
             f"{EXEC_CORES} core(s) + 3g heap each — separate JVMs, as on a real cluster;",
             "1-core executors keep 4N + the driver/master/worker JVMs inside this",
             "VM's ~8-linear-core ceiling, see the calibration above). Same job,",
-            f"same materialized input ({n_docs:,} sequences), best of 2 per level:",
+            f"same materialized input ({n_docs:,} sequences), best of {repeats} per level:",
             "",
             "| cluster size | executors | wall (s) | throughput (seqs/sec) |",
             "|---|---|---|---|",
