@@ -102,7 +102,10 @@ def length(df: DataFrame, column: str = "m_message") -> DataFrame:
         return df
     return (
         df.withColumn("e_chars_len", F.length(column))
-        .withColumn("e_lines_len", F.regexp_count(F.col(column), F.lit(r"(\n|\r|\r\n)")))
+        # alternation ordered LONGEST-FIRST: with (\n|\r|\r\n) the \r branch
+        # wins before \r\n can match, so a CRLF counted as TWO breaks and
+        # the \r\n alternative was dead code (round-4 review fix)
+        .withColumn("e_lines_len", F.regexp_count(F.col(column), F.lit("(\r\n|\r|\n)")))
         .withColumn("e_event_id_len", F.lit(1))
     )
 
@@ -199,7 +202,11 @@ def item_cumsum(
     ``unique_only`` = first-occurrence flag via row_number over the item window.
     """
     if out_column is None:
-        out_column = ("cumu_items_" + ("un" if unique_only else "") + ("an" if ano_only else "")) or "cumu_items"
+        # build the suffix first: the old ("cumu_items_" + ...) or "cumu_items"
+        # fallback was dead code ('cumu_items_' is truthy), leaving a
+        # trailing-underscore column name when both flags are off
+        suffix = ("un" if unique_only else "") + ("an" if ano_only else "")
+        out_column = f"cumu_items_{suffix}" if suffix else "cumu_items"
     order = [F.col(c).desc() if descending else F.col(c).asc() for c in order_cols]
     cond = F.lit(True)
     if unique_only:

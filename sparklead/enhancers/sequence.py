@@ -101,10 +101,15 @@ class SequenceEnhancer:
         self.df_seq = df_seq
 
     def enhance(self, **kw) -> DataFrame:
+        # join back on the SAME key the aggregation grouped by — a caller
+        # passing seq_col='block_id' must not be joined on 'seq_id'
+        # (round-4 review fix)
         agg = aggregate_sequences(self.df, **kw)
-        self.df_seq = self.df_seq.join(agg, "seq_id")
+        self.df_seq = self.df_seq.join(agg, kw.get("seq_col", "seq_id"))
         return self.df_seq
 
-    def embeddings(self, emb_col: str = "e_bert_emb") -> DataFrame:
-        self.df_seq = self.df_seq.join(embeddings_mean(self.df, emb_col=emb_col), "seq_id")
+    def embeddings(self, emb_col: str = "e_bert_emb", seq_col: str = "seq_id") -> DataFrame:
+        self.df_seq = self.df_seq.join(
+            embeddings_mean(self.df, seq_col=seq_col, emb_col=emb_col), seq_col
+        )
         return self.df_seq

@@ -96,18 +96,28 @@ def token_vectors(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     # referencing array_sort(tokens) from a lambda re-sorts per element
     # (measured 100x slowdown). SimHash goes through with_simhash (hash-once
     # column + 64 shift-add folds — 4x the per-token when-array fold).
+    # EMPTY-TOKENS GUARD (round-4 review fix, confirmed live): for an empty
+    # array, F.sequence(1, 0) auto-steps DOWN to [1, 0] and the filter
+    # lambda then evaluates element_at(_s, 0) -> INVALID_INDEX_OF_ZERO,
+    # killing the whole staged pipeline on a single empty pre-tokenized
+    # sequence. Empty docs short-circuit to empty vocab/counts (simhash 0).
+    empty_ints = F.array().cast("array<int>")
     staged = with_simhash(
         df.withColumn("_s", F.array_sort("tokens"))
         .withColumn(
             "_starts",
-            F.filter(
-                F.sequence(F.lit(1), F.size("_s")),
-                lambda i: (i == 1) | (F.element_at(F.col("_s"), i) != F.element_at(F.col("_s"), i - 1)),
+            F.when(F.size("_s") == 0, empty_ints).otherwise(
+                F.filter(
+                    F.sequence(F.lit(1), F.greatest(F.size("_s"), F.lit(1))),
+                    lambda i: (i == 1) | (F.element_at(F.col("_s"), i) != F.element_at(F.col("_s"), i - 1)),
+                )
             ),
         ),
         "tokens",
     )
-    next_starts = F.concat(F.slice("_starts", 2, 1 << 30), F.array(F.size("_s") + 1))
+    next_starts = F.when(F.size("_starts") == 0, empty_ints).otherwise(
+        F.concat(F.slice("_starts", 2, 1 << 30), F.array(F.size("_s") + 1))
+    )
     return staged.select(
         "doc_id",
         "source",

@@ -174,12 +174,13 @@ def lo2_events(df: DataFrame) -> DataFrame:
 def lo2_sequences(events: DataFrame) -> DataFrame:
     """Sequence fold (lo2.py:200-209): ordered group-concat of messages,
     any-normal, start/end times. Order key = m_timestamp (the reference
-    relies on file order; timestamps are the explicit key here)."""
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("m_timestamp", "m_message"))), lambda s: s["m_message"]
-    )
+    relies on file order; timestamps are the explicit key here). List
+    aggregation goes through the canonical ``ordered_list`` helper
+    (CLAUDE.md ordering discipline)."""
+    from sparklead.enhancers.sequence import ordered_list
+
     return events.groupBy("seq_id").agg(
-        F.concat_ws("\n", ordered).alias("m_message"),
+        F.concat_ws("\n", ordered_list("m_message", "m_timestamp")).alias("m_message"),
         F.max("normal").alias("normal"),
         (~F.max("normal")).alias("anomaly"),
         F.min("m_timestamp").alias("start_time"),

@@ -61,17 +61,41 @@ def interval_label_join(
 
     The labels side is tiny -> broadcast; the range predicate evaluates
     map-side, so this 'interval join' never shuffles the fact table.
+    Overlapping/repeated injection windows for the same pod are MERGED on
+    the (tiny) label side before the join — a plain left join against raw
+    windows emitted one fact row PER matching window, silently inflating
+    every downstream aggregate (round-4 review fix); with disjoint merged
+    intervals each event matches at most once, ONE scan of the fact table.
     """
+    from pyspark.sql import Window
+
     lbl = labels.select(
         F.col(key_col).alias("_lkey"),
         F.col(inject_col).alias("_t0"),
         (F.col(inject_col) + F.expr(f"INTERVAL {window_minutes} MINUTES")).alias("_t1"),
     )
+    # classic interval-union on the label table (label-count-sized windows):
+    # a window starts a new merged group when it begins after every earlier
+    # window's max end; adjacent windows ((a,b] then (b,c]) merge harmlessly
+    wdw = Window.partitionBy("_lkey").orderBy("_t0")
+    merged = (
+        lbl.withColumn(
+            "_prev_max", F.max("_t1").over(wdw.rowsBetween(Window.unboundedPreceding, -1))
+        )
+        .withColumn(
+            "_grp",
+            F.sum(
+                (F.col("_prev_max").isNull() | (F.col("_t0") > F.col("_prev_max"))).cast("int")
+            ).over(wdw),
+        )
+        .groupBy("_lkey", "_grp")
+        .agg(F.min("_t0").alias("_t0"), F.max("_t1").alias("_t1"))
+    )
     joined = events.join(
-        broadcast(lbl),
+        broadcast(merged),
         (events[key_col] == F.col("_lkey")) & (events[ts_col] > F.col("_t0")) & (events[ts_col] <= F.col("_t1")),
         "left",
     )
     return joined.withColumn("anomaly", F.col("_lkey").isNotNull()).withColumn(
         "normal", ~F.col("anomaly")
-    ).drop("_lkey", "_t0", "_t1")
+    ).drop("_lkey", "_grp", "_t0", "_t1")

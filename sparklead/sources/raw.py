@@ -35,9 +35,15 @@ def load_text(
         import glob as _glob
         import os as _os
 
+        # a bare directory path works for spark.read.text but would glob to
+        # [the directory itself] here and isfile-filter to NOTHING — expand
+        # it to dir/* so the filtered and unfiltered paths read the same
+        # files (round-4 review fix; this driver-side listing is local-fs
+        # only by design, mirroring the reference's os.path.getsize guard)
+        gpath = _os.path.join(path, "*") if _os.path.isdir(path) else path
         files = [
             f
-            for f in sorted(_glob.glob(path, recursive=True))
+            for f in sorted(_glob.glob(gpath, recursive=True))
             if _os.path.isfile(f) and _os.path.getsize(f) >= min_file_size
         ]
         if not files:
@@ -106,16 +112,21 @@ def merge_multiline(
     then group-concat with '\\n'. Sessionization pattern: the window is
     per-file (parallel across files), not global.
     """
+    from sparklead.enhancers.sequence import ordered_list
+
     df = flag_line_starts(df, pattern, column)
     w = Window.partitionBy(file_col).orderBy(order_col)
     df = df.withColumn("_entry_id", F.sum(F.col("_entry_start").cast("int")).over(w))
     other = [c for c in df.columns if c not in (column, "_entry_start", "_entry_id", order_col)]
+    # carried columns take the entry's HEAD-line value via min_by(c, order)
+    # — an unordered first() returned an arbitrary line's value after the
+    # groupBy shuffle, non-deterministic for per-line columns like a level
+    # or timestamp parsed before merging (round-4 review fix); the message
+    # concat goes through the canonical ordered_list helper
     merged = df.groupBy(file_col, "_entry_id").agg(
         F.min(order_col).alias(order_col),
-        F.concat_ws(
-            "\n", F.transform(F.array_sort(F.collect_list(F.struct(order_col, F.col(column).alias("v")))), lambda s: s["v"])
-        ).alias(column),
-        *[F.first(c) .alias(c) for c in other if c != file_col],
+        F.concat_ws("\n", ordered_list(column, order_col)).alias(column),
+        *[F.min_by(c, F.col(order_col)).alias(c) for c in other if c != file_col],
     )
     return merged.drop("_entry_id")
 

@@ -75,7 +75,12 @@ def load_hadoop_events(
         F.regexp_extract(fname, r"([^/]+)$", 1).alias("seq_id_sub"),
         F.monotonically_increasing_id().alias("line_nr"),
     )
-    df = merge_multiline(df, HADOOP_EVENT_PATTERN, file_col="seq_id_sub")
+    # merge per PHYSICAL FILE = (app dir, file name): keying on the bare
+    # file name alone would merge same-named files (a 'syslog.log' in every
+    # app dir) across applications — interleaved entries with arbitrary
+    # seq_id attribution (round-4 review fix)
+    df = df.withColumn("_file_key", F.concat_ws("/", "seq_id", "seq_id_sub"))
+    df = merge_multiline(df, HADOOP_EVENT_PATTERN, file_col="_file_key").drop("_file_key")
     df = df.withColumn("process", F.regexp_extract("m_message", r"\[(.*?)\]", 1)).withColumn(
         "m_message",
         F.regexp_replace(F.regexp_replace("m_message", r"\s*\[.*?\]\s*", " "), r"\s+", " "),

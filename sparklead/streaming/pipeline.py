@@ -227,7 +227,11 @@ def stream_dedup(
     writer = (
         deduped.writeStream.format("parquet")
         .option("path", os.path.join(out_dir, "deduped"))
-        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        # checkpoint namespaced PER QUERY: the sink dirs are designed to
+        # coexist under one out_dir, so a shared out_dir/_checkpoint would
+        # collide between stream_dedup and stream_window_counts (wrong
+        # operator state / offsets on restart — round-4 review fix)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint_deduped"))
         .outputMode("append")
     )
     if available_now:
@@ -255,7 +259,8 @@ def stream_window_counts(
     writer = (
         agg.writeStream.format("parquet")
         .option("path", os.path.join(out_dir, "window_counts"))
-        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        # per-query checkpoint namespace (see stream_dedup)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint_window_counts"))
         .outputMode("append")
     )
     if available_now:

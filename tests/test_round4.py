@@ -485,3 +485,95 @@ def test_route_resume_trust_escapes(spark, tmp_path):
         {"b": lambda: spark.read.parquet(src).select("id")}, out, resume=True
     )
     assert r2["b"].get("resumed") is True
+
+
+# ------------------------------------------------- full-repo review fixes
+
+def test_token_vectors_empty_tokens(spark):
+    """A single empty pre-tokenized sequence must not kill the pipeline:
+    sequence(1, 0) auto-steps to [1, 0] and element_at(_, 0) threw —
+    empty docs now yield empty vocab/counts and simhash 0."""
+    from sparklead.pipeline import token_vectors
+
+    df = spark.createDataFrame(
+        [("d0", [3, 1, 3], 3, "s"), ("d1", [], 0, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    rows = {r["doc_id"]: r for r in token_vectors(df).collect()}
+    assert rows["d1"]["vocab"] == [] and rows["d1"]["counts"] == []
+    assert rows["d1"]["simhash"] == 0
+    assert rows["d0"]["vocab"] == [1, 3] and rows["d0"]["counts"] == [1, 2]
+
+
+def test_lines_len_crlf_not_double_counted(spark):
+    """(\\n|\\r|\\r\\n) counted a CRLF as TWO breaks; longest-first fixes it."""
+    from sparklead.enhancers import eventlog as E
+
+    df = spark.createDataFrame([("a\r\nb",), ("a\nb",), ("a\rb",)], "m_message string")
+    vals = [r["e_lines_len"] for r in E.length(df).collect()]
+    assert vals == [1, 1, 1]
+
+
+def test_item_cumsum_default_name_no_trailing_underscore(spark):
+    from sparklead.enhancers.eventlog import item_cumsum
+
+    df = spark.createDataFrame(
+        [(1, "a", False), (2, "b", True)], "ts int, e_message_normalized string, anomaly boolean"
+    )
+    out = item_cumsum(df, order_cols=("ts",), ano_only=False, unique_only=False)
+    assert "cumu_items" in out.columns and "cumu_items_" not in out.columns
+
+
+def test_merge_multiline_carried_columns_head_line(spark):
+    """Carried columns must take the entry HEAD line's value (min_by over
+    the order key), not an arbitrary first() after the shuffle."""
+    from sparklead.sources.raw import merge_multiline
+
+    df = spark.createDataFrame(
+        [
+            ("081109 203518 INFO start", "f", 0, "INFO"),
+            ("  at java.Foo", "f", 1, None),
+            ("  at java.Bar", "f", 2, None),
+        ],
+        "m_message string, file_name string, line_nr long, level string",
+    ).repartition(4)
+    rows = merge_multiline(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["level"] == "INFO"
+    assert rows[0]["m_message"].count("\n") == 2
+
+
+def test_interval_join_overlapping_windows_no_duplicates(spark):
+    """Overlapping injection windows for one pod must not duplicate events."""
+    from sparklead.sources.nezha import interval_label_join
+
+    ev = spark.createDataFrame(
+        [(i, "p1", f"2024-01-01 12:{m:02d}:30") for i, m in enumerate(range(0, 10))],
+        "event_id int, pod string, ts string",
+    ).select("event_id", "pod", F.to_timestamp("ts").alias("m_timestamp"))
+    labels = spark.createDataFrame(
+        [("p1", "2024-01-01 12:00:00"), ("p1", "2024-01-01 12:01:00")],
+        "pod string, t string",
+    ).select("pod", F.to_timestamp("t").alias("inject_time"))
+    out = interval_label_join(ev, labels, window_minutes=3)
+    assert out.count() == 10  # no row inflation
+    # union of (12:00,12:03] and (12:01,12:04]: events at minute-offsets
+    # 0..3 (each at :30 seconds) fall inside, 4.. outside
+    flagged = {r["event_id"] for r in out.filter("anomaly").collect()}
+    assert flagged == {0, 1, 2, 3}
+
+
+def test_sequence_enhancer_custom_seq_col(spark):
+    """enhance(seq_col=...) must join back on the custom key."""
+    from sparklead.enhancers.sequence import SequenceEnhancer
+
+    ev = spark.createDataFrame(
+        [("b1", "2024-01-01 10:00:01"), ("b1", "2024-01-01 10:00:02"), ("b2", "2024-01-01 10:00:03")],
+        "block_id string, ts string",
+    ).select("block_id", F.to_timestamp("ts").alias("m_timestamp"))
+    seqs = ev.select("block_id").distinct()
+    out = SequenceEnhancer(ev, seqs).enhance(
+        seq_col="block_id", event_col=None, token_col=None, chars_len_col=None
+    )
+    got = {r["block_id"]: r["seq_len"] for r in out.collect()}
+    assert got == {"b1": 2, "b2": 1}
