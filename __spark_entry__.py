@@ -1013,7 +1013,12 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
     )
     corpus = emb.unionByName(near)
-    pairs = embedding_neardup(corpus, threshold=0.95)
+    # compute the LSH-candidate + exact-verify lineage ONCE: it feeds both
+    # the component loop and the output join, and the pair list is bounded
+    # by the seeded design — collect to literal rows (round-4 review fix:
+    # the raw lineage re-ran ~3x per gate call; nothing stays persisted)
+    pairs_f = embedding_neardup(corpus, threshold=0.95)
+    pairs = spark.createDataFrame(pairs_f.collect(), pairs_f.schema)
     # pair -> GROUP resolution rides along (connected components, min-id
     # label): with seeded a<->a+10000 pairs every component label equals its
     # seeded a_id. Round-4: the end-to-end KEEP/DROP DECISION
@@ -1150,7 +1155,9 @@ def oracle_sql() -> dict[str, str]:
         "field_split": """
             SELECT doc_id,
                    split_part(text, ' ', 1) AS f1,
-                   split_part(text, ' ', 2) AS f2,
+                   CASE WHEN len(string_split(text, ' ')) >= 2
+                        THEN split_part(text, ' ', 2)
+                   END AS f2,
                    CASE WHEN len(string_split(text, ' ')) >= 3
                         THEN array_to_string(string_split(text, ' ')[3:], ' ')
                    END AS rest
@@ -1330,8 +1337,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": """
             WITH sh AS (
               SELECT doc_id,
-                     list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
-                                    FOR i IN range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]) AS shingles
+                     -- \s+ split, matching Spark word_shingles' F.split(text, '\s+')
+                     list_distinct([array_to_string(string_split_regex(text, '\s+')[i:i+2], ' ')
+                                    FOR i IN range(1, greatest(len(string_split_regex(text, '\s+')) - 2, 1) + 1)]) AS shingles
               FROM documents WHERE doc_id < 100
             )
             SELECT doc_id,
@@ -1347,8 +1355,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id < 40
             ), sh AS (
               SELECT doc_id AS id,
-                     list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
-                                    FOR i IN range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)]) AS sh
+                     list_distinct([array_to_string(string_split_regex(text, '\s+')[i:i+2], ' ')
+                                    FOR i IN range(1, greatest(len(string_split_regex(text, '\s+')) - 2, 1) + 1)]) AS sh
               FROM corpus
             )
             SELECT a.id AS a_id, b.id AS b_id,

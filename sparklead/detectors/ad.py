@@ -105,7 +105,11 @@ class SeqFeaturizer:
     _cv_model: object = None
 
     def fit(self, train: DataFrame) -> "SeqFeaturizer":
-        if self.item_col:
+        # fit-once: an already-fitted featurizer is reused as-is, so
+        # evaluate_all's N models share ONE vocabulary fit instead of
+        # re-fitting identical CountVectorizers per model (round-4 review
+        # fix); construct a fresh SeqFeaturizer to fit on different data
+        if self.item_col and self._cv_model is None:
             from pyspark.ml.feature import CountVectorizer
 
             cv = CountVectorizer(
@@ -338,10 +342,14 @@ def evaluate_all(
     featurizer_kw: dict | None = None,
     models: tuple[str, ...] = ("LR", "DT", "RF", "SVM"),
 ) -> dict[str, dict]:
-    """Reference evaluate_all_ads (:399-412): every model over the same split."""
+    """Reference evaluate_all_ads (:399-412): every model over the same split.
+    One SHARED featurizer: the vocabulary fit (the expensive part) runs once
+    and every model reuses it — the reference likewise featurizes once per
+    input-column combination."""
     out = {}
+    feat = SeqFeaturizer(**(featurizer_kw or {}))
     for m in models:
-        det = AnomalyDetector(SeqFeaturizer(**(featurizer_kw or {})))
+        det = AnomalyDetector(feat)
         try:
             det.train(train_df, m)
             out[m] = evaluate(det.predict(test_df))

@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 SOS, EOS = "SoS", "EoS"
+# n-gram key delimiter: a control char that cannot appear in event labels —
+# joining with ' ' made labels containing spaces collide ("disk full|ok" vs
+# "disk|full ok") and broke the substring_index prefix/suffix extraction
+# (round-4 review fix); keys are internal, outputs carry bare labels
+SEP = "\x1f"
 
 
 def _padded(events: Column, n: int) -> Column:
@@ -40,8 +45,8 @@ def _positional_ngrams(df: DataFrame, events_col: str, n: int, key_col: str) -> 
         F.sequence(F.lit(1), F.size(padded) - (n - 1)),
         lambda i: F.struct(
             i.alias("pos"),
-            F.array_join(F.slice(padded, i, n), " ").alias("ngram"),
-            F.array_join(F.slice(padded, i, n - 1), " ").alias("n1gram"),
+            F.array_join(F.slice(padded, i, n), SEP).alias("ngram"),
+            F.array_join(F.slice(padded, i, n - 1), SEP).alias("n1gram"),
         ),
     )
     return df.select(key_col, F.explode(grams).alias("g")).select(
@@ -64,7 +69,7 @@ class NGramModel:
         # winner = most frequent full n-gram per (n-1)-gram; deterministic
         # tie-break = lexicographically smallest, via min_by on (-count, ngram)
         winners = (
-            ngram_counts.withColumn("n1gram", F.expr("substring_index(ngram, ' ', %d)" % (n - 1)))
+            ngram_counts.withColumn("n1gram", F.substring_index(F.col("ngram"), SEP, n - 1))
             .groupBy("n1gram")
             .agg(
                 F.min_by(
@@ -77,7 +82,7 @@ class NGramModel:
                 F.col("w.winner_ngram").alias("winner_ngram"),
                 F.col("w.winner_count").alias("winner_count"),
             )
-            .withColumn("prediction", F.expr("substring_index(winner_ngram, ' ', -1)"))
+            .withColumn("prediction", F.substring_index(F.col("winner_ngram"), SEP, -1))
         )
         return cls(ngram_counts, n1_counts, winners, n)
 
@@ -127,7 +132,22 @@ class NGramModel:
             .withColumn("nep_prob_nmax_min", F.array_min("nep_prob_nmax"))
             .withColumn(
                 "nep_prob_nmax_perp",
-                F.exp(-(F.aggregate(F.transform("nep_prob_nmax", lambda x: F.log(x)), F.lit(0.0), lambda a, x: a + x) / F.size("nep_prob_nmax"))),
+                # log(0) is NULL in Spark, which would NULL the whole fold for
+                # exactly the sequences containing an UNSEEN n-gram — the ones
+                # the detector exists to flag; the reference's numpy log(0)
+                # yields -inf and perplexity +inf (most anomalous), mirrored
+                # here explicitly (round-4 review fix)
+                F.exp(-(
+                    F.aggregate(
+                        F.transform(
+                            "nep_prob_nmax",
+                            lambda x: F.when(x > 0, F.log(x)).otherwise(F.lit(float("-inf"))),
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    / F.size("nep_prob_nmax")
+                )),
             )
         )
         return df_seq.join(agg, key_col, "left")

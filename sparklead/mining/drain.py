@@ -250,9 +250,19 @@ def parse_drain(
 ) -> tuple[DataFrame, DrainMiner]:
     """fit + assign in one call (the reference's parse_drain enhancer shape)."""
     if template_path is not None:
+        # catch ONLY the missing-snapshot case: a bare except here treated
+        # every load error (permissions, partial write, schema drift) as
+        # "no snapshot yet" and then OVERWROTE the existing snapshot with a
+        # fresh fit — destroying the persisted checkpoint lineage the
+        # snapshot exists for and shifting template state (round-4 review
+        # fix); real corruption should surface, not be clobbered
+        from pyspark.errors import AnalysisException
+
         try:
             miner = DrainMiner.load_templates(df.sparkSession, template_path, sim_th, max_clusters)
-        except Exception:
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             miner = DrainMiner(sim_th, max_clusters).fit(df, tokens_col)
             miner.save_templates(df.sparkSession, template_path)
     else:

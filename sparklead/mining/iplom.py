@@ -292,17 +292,12 @@ def iplom_keyed(
     return _step3(base, tokens_col, ct, lower, upper).drop("_split2")
 
 
-def iplom_templates(
-    df: DataFrame,
-    tokens_col: str = "e_words",
-    pst: float = 0.0,
-    **kw,
-) -> DataFrame:
-    """S4 over the keyed rows: (template_id, template, part_len[, is_outlier]).
-
-    Template = per position countDistinct==1 ? first : '<*>' (IPLoM.py:
-    488-494); PST folds under-supported partitions to outliers (:449-455)."""
-    base = iplom_keyed(df.select(tokens_col), tokens_col, **kw)
+def _s4_templates(base: DataFrame, tokens_col: str) -> DataFrame:
+    """Shared S4 aggregation over keyed rows: (part_key, template,
+    template_id, part_len). Template = per position countDistinct==1 ?
+    first : '<*>' (IPLoM.py:488-494). One definition for both the
+    templates-only path and parse_iplom's assignment path — the two used to
+    carry verbatim copies that could silently diverge (round-4 review fix)."""
     per_pos = (
         base.select("part_key", F.posexplode(tokens_col).alias("pos", "tok"))
         .groupBy("part_key", "pos")
@@ -314,10 +309,25 @@ def iplom_templates(
         ).alias("template")
     )
     sizes = base.groupBy("part_key").agg(F.count(F.lit(1)).alias("part_len"))
-    out = (
+    return (
         templates.join(sizes, "part_key")
         .withColumn("template_id", F.concat(F.lit("e"), F.substring(F.md5("template"), 1, 8)))
+        .select("part_key", "template_id", "template", "part_len")
     )
+
+
+def iplom_templates(
+    df: DataFrame,
+    tokens_col: str = "e_words",
+    pst: float = 0.0,
+    **kw,
+) -> DataFrame:
+    """S4 over the keyed rows: (template_id, template, part_len[, is_outlier]).
+
+    Template = per position countDistinct==1 ? first : '<*>' (IPLoM.py:
+    488-494); PST folds under-supported partitions to outliers (:449-455)."""
+    base = iplom_keyed(df.select(tokens_col), tokens_col, **kw)
+    out = _s4_templates(base, tokens_col)
     if pst > 0:
         # PST denominator from the sizes aggregate itself (unbounded window
         # over the template-sized frame), not a count() job over the data
@@ -351,24 +361,7 @@ def parse_iplom(
     spark = df.sparkSession
     keyed = iplom_keyed(df, tokens_col, **kw).persist()
     try:
-        per_pos = (
-            keyed.select("part_key", F.posexplode(tokens_col).alias("pos", "tok"))
-            .groupBy("part_key", "pos")
-            .agg(F.when(F.countDistinct("tok") == 1, F.first("tok")).otherwise(F.lit("<*>")).alias("t"))
-        )
-        templates = (
-            per_pos.groupBy("part_key")
-            .agg(
-                F.concat_ws(
-                    " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "t"))), lambda s: s["t"])
-                ).alias("template")
-            )
-            .withColumn("template_id", F.concat(F.lit("e"), F.substring(F.md5("template"), 1, 8)))
-        )
-        sizes = keyed.groupBy("part_key").agg(F.count(F.lit(1)).alias("part_len"))
-        tpl_sized = templates.join(sizes, "part_key").select(
-            "part_key", "template_id", "template", "part_len"
-        )
+        tpl_sized = _s4_templates(keyed, tokens_col)
         tpl = spark.createDataFrame(tpl_sized.collect(), tpl_sized.schema)
     finally:
         keyed.unpersist()

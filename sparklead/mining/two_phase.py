@@ -234,6 +234,11 @@ class LocalLenMa:
         if best is not None and (best_sim >= self.threshold or self.n_clusters >= self.max_clusters):
             best[0] = [a if a == b else "<*>" for a, b in zip(best[0], tokens)]
             best[1] += count
+            # reference update() REPLACES the stored word-length vector with
+            # the newest line's lengths (lenma.py:198-200) — comparing new
+            # lines against the seed line's stale lengths diverged from the
+            # reference's merge decisions (round-4 review fix)
+            best[2] = lens
         else:
             # below the cap, or first line of a new token length at the cap
             # (still counts toward it — the state must stay bounded)
@@ -247,6 +252,12 @@ class LocalLenMa:
 
     @staticmethod
     def match(tokens: list[str], templates: list[tuple[list[str], str]], threshold: float = 0.9) -> str | None:
+        """Assign a row to its best final template. The reference compares
+        against a cluster's last-updated word-length vector — arrival-order
+        state that a distributed assignment cannot reproduce; here wildcard
+        slots deterministically assume the ROW's own length (an upper bound:
+        an all-wildcard template scores 1.0, consistent with it having
+        absorbed every length during mining)."""
         lens = [len(t) for t in tokens]
         best_id, best_sim = None, 0.0
         for tpl, tid in templates:

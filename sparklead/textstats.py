@@ -103,11 +103,16 @@ def text_features(df: DataFrame, text_col: str = "text", fast_fingerprint: bool 
     lowered-token column (materialized once, dropped at the end).
     ``fast_fingerprint`` switches to the xxhash64 winnowing lane
     (production default at scale; md5 stays the oracle-checked lane)."""
-    shared, _ = _lowered_words(df, text_col)
+    shared, added = _lowered_words(df, text_col)
     fp = fingerprint_fast if fast_fingerprint else fingerprint
-    return fp(
+    out = fp(
         quality_score(lang_id(token_counts(shared, text_col), text_col), text_col), text_col
-    ).drop("_ws_lower")
+    )
+    # honor the added-flag contract like every other fn here: only drop the
+    # shared column if THIS call materialized it — a caller-provided
+    # _ws_lower survives for the caller's own downstream use (round-4
+    # review fix)
+    return out.drop("_ws_lower") if added else out
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 8, keep: int = 4) -> DataFrame:
