@@ -117,6 +117,20 @@ class _LocalDrain:
         return out
 
 
+def _templates_pdf(tpls: list) -> "pd.DataFrame":
+    """Arrow-safe template frame: an EMPTY partition must yield
+    object/int64-dtyped columns — pandas defaults empty columns to float64,
+    which pyarrow cannot convert to array<string> and the whole mapInPandas
+    stage dies (hit by empty streaming micro-batches; latent for any empty
+    input partition in batch fit, round-4 fix)."""
+    return pd.DataFrame(
+        {
+            "template": pd.Series([t for t, _ in tpls], dtype=object),
+            "count": pd.Series([c for _, c in tpls], dtype="int64"),
+        }
+    )
+
+
 def template_id(template_tokens: list[str]) -> str:
     """'e' + md5(template)[:8] — reference id convention (AEL.py:32, eventlog.py:191)."""
     return "e" + hashlib.md5(" ".join(template_tokens).encode()).hexdigest()[:8]
@@ -156,9 +170,7 @@ class DrainMiner:
             ):
                 local.add(list(toks), cnt)
             tpls = local.templates()
-            yield pd.DataFrame(
-                {"template": [t for t, _ in tpls], "count": [c for _, c in tpls]}
-            )
+            yield _templates_pdf(tpls)
 
         def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows = []
@@ -169,9 +181,7 @@ class DrainMiner:
             for t, c in rows:
                 local.add(t, c)
             tpls = local.templates()
-            yield pd.DataFrame(
-                {"template": [t for t, _ in tpls], "count": [c for _, c in tpls]}
-            )
+            yield _templates_pdf(tpls)
 
         schema = "template array<string>, count long"
         partials = df.select(F.col(tokens_col).alias("t")).mapInPandas(mine_partition, schema)
@@ -192,6 +202,25 @@ class DrainMiner:
         merger = _LocalDrain(self.sim_th, self.max_clusters)
         for r in rows:
             merger.add(list(r["template"]), int(r["count"]))
+        self.templates = merger.templates()
+        return self
+
+    def update(self, df: DataFrame, tokens_col: str = "e_words", merge_fanout: int = 32) -> "DrainMiner":
+        """INCREMENTAL fit: mine the new data's partial template sets
+        distributed (same tree-merged phase 1+2), then fold them into the
+        EXISTING template state on the driver — drain3's periodic-update
+        shape (the reference's streaming analogue, eventlog.py:168-199
+        drain3 state files). Counts accumulate; cluster count stays bounded
+        by max_clusters. Like any online drain, the final template set
+        depends on batch arrival order (inherent to incremental mining);
+        within one update the merge is deterministic (sorted fold)."""
+        partial = self._partials(df, tokens_col, merge_fanout).collect()
+        rows = [(list(t), int(c)) for t, c in self.templates]
+        rows += [(list(r["template"]), int(r["count"])) for r in partial]
+        rows.sort(key=lambda r: (len(r[0]), " ".join(r[0]), -r[1]))
+        merger = _LocalDrain(self.sim_th, self.max_clusters)
+        for t, c in rows:
+            merger.add(t, c)
         self.templates = merger.templates()
         return self
 

@@ -266,3 +266,129 @@ def stream_window_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_drain_templates(
+    spark: SparkSession,
+    input_dir: str,
+    template_dir: str,
+    schema: str = "seq_id string, e_words array<string>",
+    tokens_col: str = "e_words",
+    sim_th: float = 0.4,
+    max_clusters: int = 1024,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """INCREMENTAL template mining over a stream — the drain3
+    periodic-state-snapshot analogue (ref enhancers/eventlog.py:168-199)
+    as a checkpointed Structured Streaming query.
+
+    Each micro-batch runs DrainMiner.update (distributed tree-merged
+    partials folded into the loaded template state) and writes a VERSIONED
+    snapshot ``template_dir/batch_id=N`` plus a manifest line — the same
+    committed-marker + content-identity discipline as stream_route, so a
+    replayed batch (checkpoint recovery) is skipped instead of
+    double-counting its lines, a lost checkpoint triggers a clean
+    generation restart, and a crash mid-snapshot leaves the previous
+    committed snapshot untouched (recovery loads the newest COMMITTED
+    version, never a half-written dir). Readers load templates with
+    ``load_latest_drain_templates``.
+    """
+    from sparklead.mining.drain import DrainMiner
+
+    manifest_path = os.path.join(template_dir, "drain_manifest.jsonl")
+
+    def _committed() -> dict:
+        done: dict = {}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                for line in f:
+                    e = json.loads(line)
+                    if e.get("committed"):
+                        done[e["batch_id"]] = e.get("identity")
+        return done
+
+    def mine_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        ident = batch_df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(struct(*)))"), F.lit(0).cast("long")
+            ).alias("fp"),
+        ).first()
+        identity = f"{ident['rows']}:{ident['fp']}"
+        committed = _committed()
+        if batch_id in committed:
+            if committed[batch_id] == identity:
+                batch_df.unpersist()
+                return
+            # lost-checkpoint regeneration: drop the dead generation's
+            # snapshots and manifest tail, then re-mine from the surviving
+            # prefix (mirrors stream_route._reset_from)
+            import re
+            import shutil
+
+            for d in os.listdir(template_dir):
+                m = re.fullmatch(r"batch_id=(\d+)", d)
+                if m and int(m.group(1)) >= batch_id:
+                    shutil.rmtree(os.path.join(template_dir, d), ignore_errors=True)
+            with open(manifest_path) as f:
+                keep = [ln for ln in f if json.loads(ln).get("batch_id", 0) < batch_id]
+            with open(manifest_path, "w") as f:
+                f.writelines(keep)
+            committed = _committed()
+        prev = max(committed, default=None)
+        if prev is None:
+            miner = DrainMiner(sim_th, max_clusters)
+        else:
+            miner = DrainMiner.load_templates(
+                spark, os.path.join(template_dir, f"batch_id={prev}"), sim_th, max_clusters
+            )
+        miner.update(batch_df, tokens_col)
+        miner.save_templates(spark, os.path.join(template_dir, f"batch_id={batch_id}"))
+        with open(manifest_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "batch_id": batch_id,
+                        "rows": ident["rows"],
+                        "n_templates": len(miner.templates),
+                        "committed": True,
+                        "identity": identity,
+                    }
+                )
+                + "\n"
+            )
+        batch_df.unpersist()
+
+    os.makedirs(template_dir, exist_ok=True)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(mine_batch)
+        .option("checkpointLocation", os.path.join(template_dir, "_checkpoint"))
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def load_latest_drain_templates(
+    spark: SparkSession, template_dir: str, sim_th: float = 0.4, max_clusters: int = 1024
+):
+    """Load the newest COMMITTED snapshot written by stream_drain_templates."""
+    from sparklead.mining.drain import DrainMiner
+
+    manifest_path = os.path.join(template_dir, "drain_manifest.jsonl")
+    committed = []
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            committed = [json.loads(l)["batch_id"] for l in f if json.loads(l).get("committed")]
+    if not committed:
+        raise FileNotFoundError(f"no committed drain snapshot under {template_dir}")
+    return DrainMiner.load_templates(
+        spark, os.path.join(template_dir, f"batch_id={max(committed)}"), sim_th, max_clusters
+    )

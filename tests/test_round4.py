@@ -630,3 +630,64 @@ def test_lenma_update_uses_latest_wordlens(spark):
                                  # here; the REAL check is the stored vector below)
     assert m2.n_clusters == 1
     assert m2.by_len[2][0][2] == [4, 4]  # latest line's lengths, not the seed's
+
+
+# ------------------------------------------------- incremental drain stream
+
+def test_stream_drain_incremental_snapshots(spark, tmp_path):
+    """Checkpointed incremental template mining (the drain3 periodic-
+    snapshot analogue): multi-batch run mines all lines exactly once into
+    versioned snapshots; a resumed run with new data updates counts without
+    re-counting old batches; replay with no new data changes nothing."""
+    from sparklead import synth
+    from sparklead.enhancers import eventlog as E
+    from sparklead.mining.drain import DrainMiner
+    from sparklead.sources.hdfs import load_hdfs_events
+    from sparklead.streaming import load_latest_drain_templates, stream_drain_templates
+
+    inp, tdir = str(tmp_path / "in"), str(tmp_path / "tpl")
+
+    def tokenized(n, seed_shift=0):
+        ev = load_hdfs_events(synth.raw_log_corpus(spark, n))
+        return E.words(E.normalize(ev), "e_message_normalized").select(
+            F.col("seq_id"), F.col("e_words")
+        )
+
+    tokenized(300).coalesce(2).write.mode("append").parquet(inp)
+    stream_drain_templates(
+        spark, inp, tdir, max_files_per_trigger=1
+    ).awaitTermination(180)
+    miner = load_latest_drain_templates(spark, tdir)
+    assert sum(c for _, c in miner.templates) == 300  # every line counted once
+    n_batches_1 = len(
+        [d for d in os.listdir(tdir) if d.startswith("batch_id=")]
+    )
+    assert n_batches_1 >= 2  # multi-batch really exercised
+    # batch-fit miner on the same corpus finds the same template STRINGS
+    batch_templates = {
+        " ".join(t) for t, _ in DrainMiner().fit(tokenized(300), "e_words").templates
+    }
+    assert {" ".join(t) for t, _ in miner.templates} == batch_templates
+    # grow the input (a fresh 150-line slice); resumed run processes ONLY
+    # the new batch and counts accumulate
+    tokenized(150).coalesce(1).write.mode("append").parquet(inp)
+    stream_drain_templates(spark, inp, tdir).awaitTermination(180)
+    miner2 = load_latest_drain_templates(spark, tdir)
+    assert sum(c for _, c in miner2.templates) == 450
+    # replay with nothing new: identical state
+    stream_drain_templates(spark, inp, tdir).awaitTermination(180)
+    miner3 = load_latest_drain_templates(spark, tdir)
+    assert sum(c for _, c in miner3.templates) == 450
+
+
+def test_drain_fit_survives_empty_partitions(spark):
+    """Latent Arrow bug (round-4): an EMPTY input partition made
+    mine_partition yield float64-dtyped empty columns that pyarrow cannot
+    convert to array<string> — any sparse repartition killed the fit."""
+    from sparklead.mining.drain import DrainMiner
+
+    df = spark.createDataFrame(
+        [(f"s{i}", ["evt", str(i % 3)]) for i in range(6)], "seq_id string, e_words array<string>"
+    ).repartition(64)  # 64 partitions, 6 rows -> mostly empty
+    m = DrainMiner().fit(df, "e_words")
+    assert sum(c for _, c in m.templates) == 6
