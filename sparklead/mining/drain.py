@@ -158,7 +158,16 @@ class DrainMiner:
             # log data is massively repetitive: count identical token arrays
             # first, then cluster the DISTINCT ones (weighted) in a sorted,
             # deterministic order — phase 1 stops depending on row order and
-            # the Python loop runs over distinct lines, not all lines
+            # the Python loop runs over distinct lines, not all lines.
+            # Considered alternative: a GLOBAL groupBy(tokens).count() before
+            # the mapInPandas would dedup lines across partitions too (JVM
+            # map-side combine, Python sees each distinct line once) at the
+            # cost of one distinct-lines-sized shuffle. Rejected for now:
+            # phase 1 stays a narrow map over the scan (zero shuffle), the
+            # cross-partition repeats are re-mined only into bounded partial
+            # sets the tree-merge folds anyway, and changing the partial
+            # composition would shift the (drift-tracked) template
+            # fingerprints without a measured win.
             from collections import Counter
 
             counts: Counter = Counter()
