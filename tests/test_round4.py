@@ -691,3 +691,31 @@ def test_drain_fit_survives_empty_partitions(spark):
     ).repartition(64)  # 64 partitions, 6 rows -> mostly empty
     m = DrainMiner().fit(df, "e_words")
     assert sum(c for _, c in m.templates) == 6
+
+
+def test_quantizer_bitwise_identical_to_duckdb(spark):
+    """The floor(x*1e6+0.5)/1e6 quantizer must produce BIT-IDENTICAL doubles
+    in Spark and DuckDB (the whole point of abandoning round(): engine
+    round() half-way semantics differ) — checked on adversarial values
+    sitting near .5e-6 boundaries plus a pseudo-random sweep."""
+    import struct
+
+    import duckdb
+
+    edge = [0.1234565, 0.1234575, 0.9999995, 1e-7, 4.9999999e-7, 0.5e-6, 123.4567895]
+    rand = [((i * 2654435761) % 10_000_019) / 10_000_019.0 for i in range(500)]
+    vals = edge + rand
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        (F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("q")
+    )
+    got_spark = [r["q"] for r in sdf.collect()]
+    # CAST to DOUBLE: a bare decimal literal is DECIMAL in DuckDB (the real
+    # oracle reads a parquet DOUBLE column, so double arithmetic applies)
+    got_duck = [
+        duckdb.sql(
+            f"SELECT floor(CAST({v!r} AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    bits = lambda x: struct.pack("<d", x)
+    assert [bits(a) for a in got_spark] == [bits(b) for b in got_duck]
