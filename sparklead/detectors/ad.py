@@ -67,27 +67,42 @@ def train_test_split(
         # Boundary rows (time == cutoff) go to the test side, preserving
         # max(train time) <= min(test time) exactly; the split fraction is
         # approximate to the sketch's accuracy (1e-4 here) instead of exact.
-        # DEGENERATE-TIE GUARD (round-4, advisor fix): coarse/tied timestamps
-        # can put the cutoff at min(time) — then train is EMPTY and
-        # downstream .train() dies, where the reference's head/tail split
-        # never produces an empty side. When the cutoff ties the minimum the
-        # percentile filters cannot separate the data at all, so fall back to
-        # the exact percent_rank path (global sort, tie-broken by key_col —
-        # acceptable: it only triggers on near-constant time columns, where
-        # "chronological" order is mostly the tie-break anyway).
+        # DEGENERATE-TIE GUARD (round-4; round-5 advisor fix): coarse/tied
+        # timestamps can put the cutoff at min(time) — then train is EMPTY
+        # and downstream .train() dies, where the reference's head/tail
+        # split never produces an empty side. Round 4 fell back to a GLOBAL
+        # percent_rank window — one task for the whole input, and the
+        # trigger (a near-constant time column) is independent of data size,
+        # so a 100 TB input with coarse timestamps funnelled through a
+        # single-task sort. Round 5: rows strictly after the cutoff still go
+        # to test (chronology preserved exactly where time CAN order rows);
+        # the tied mass AT the cutoff — where "chronological" carries no
+        # information — is split by a deterministic hash of key_col to fill
+        # the remaining test fraction. Fully partitioned, no global window;
+        # fractions are approximate exactly like the shuffle=True hash path
+        # (the scale-path trade already documented above).
         stats = df_seq.agg(
             F.percentile_approx(time_col, 1 - test_frac, 10_000).alias("c"),
             F.min(time_col).alias("lo"),
         ).first()
         cutoff = stats["c"]
         if cutoff is None or cutoff == stats["lo"]:
-            from pyspark.sql import Window
-
-            ranked = df_seq.withColumn(
-                "_pr", F.percent_rank().over(Window.orderBy(time_col, key_col))
+            counts = df_seq.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum((F.col(time_col) > F.lit(stats["lo"])).cast("long")), F.lit(0)
+                ).alias("n_gt"),
+            ).first()
+            n_ties = counts["n"] - counts["n_gt"]
+            want = test_frac * counts["n"] - counts["n_gt"]
+            frac = min(max(want / max(n_ties, 1), 0.0), 1.0)
+            u = (
+                F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.lit(1_000_000))
+                / 1_000_000.0
             )
-            train = ranked.filter(F.col("_pr") < 1 - test_frac).drop("_pr")
-            test = ranked.filter(F.col("_pr") >= 1 - test_frac).drop("_pr")
+            is_test = (F.col(time_col) > F.lit(stats["lo"])) | (u < F.lit(frac))
+            train = df_seq.filter(~is_test)
+            test = df_seq.filter(is_test)
         else:
             train = df_seq.filter(F.col(time_col) < F.lit(cutoff))
             test = df_seq.filter(F.col(time_col) >= F.lit(cutoff))
@@ -225,26 +240,54 @@ def _score_hist(
     """(score, pos, n) per distinct score — the sufficient statistic for both
     ROC-AUC and the threshold sweep. One hash agg.
 
-    ``quantize`` (round-4 scale fix): the unpartitioned windows downstream
-    run over score-CARDINALITY rows — fine for discrete scores, but
-    CONTINUOUS scores (rarity sums, probabilities) have cardinality ~= row
-    count, funnelling the whole test set through one task. Rounding the
-    score to ``quantize`` decimals first bounds the histogram by the score
-    RANGE (<= range * 10^quantize + 1 rows; ~2e6 for [0,1] scores at the
-    default 6), which perturbs AUC/F1 by < 1e-6 — set ``quantize=None``
-    only when exact tie handling of raw doubles matters more than scale.
+    ``quantize`` (round-4 scale fix, round-5 made RANGE-INDEPENDENT): the
+    unpartitioned windows downstream run over score-CARDINALITY rows — fine
+    for discrete scores, but CONTINUOUS scores (rarity sums, probabilities)
+    have cardinality ~= row count, funnelling the whole test set through one
+    task. Scores are first NORMALIZED by a one-row ``max(abs(score))``
+    aggregate (finite scores only), then quantized to ``quantize`` decimals
+    and scaled back — so the histogram holds at most 2*10^quantize + 1
+    finite bins (plus NaN/±inf rows) for ANY score distribution. Round 4's
+    absolute 1e-6 bins were bounded only for bounded ranges: rarity's
+    ``(-ln f)^3`` scores span ~2e4 at the 10^12-sequence design point, i.e.
+    up to 2e10 bins — data-sized again. The normalize-quantize-rescale
+    round trip is order-preserving and perturbs each score by < |score| *
+    10^-quantize relative, so AUC/F1 move < 1e-4 (pytest-pinned). Set
+    ``quantize=None`` only when exact tie handling of raw doubles matters
+    more than scale. Costs one extra (cheap, map-side-combined) pass over
+    the scores for the max — both passes stay fully distributed.
 
-    The quantizer is ``floor(score * 10^q + 0.5) / 10^q`` rather than
-    ``round(score, q)``: both Spark and DuckDB evaluate that expression
-    with the SAME IEEE double operations, so the oracle bins boundary
-    scores identically, whereas the engines' native round() differ in
-    half-way handling (Spark: decimal HALF_UP on the shortest repr;
-    DuckDB: binary-scaled). Assumes |score|*10^q fits in int64 (Spark's
-    floor(double) yields bigint) — true for any probability/rarity score."""
-    s = F.col(score_col)
+    NON-FINITE scores bypass quantization (round-5, advisor fix): NaN and
+    ±inf pass through raw — the old absolute quantizer sent NaN to 0.0
+    (silently flipping NaN-scored rows from most-anomalous to mid-ranked,
+    Spark sorts NaN greatest) and collapsed +inf (deliberately emitted by
+    the NEP unseen-n-gram path) through Long.MaxValue/1e6. They are also
+    excluded from the normalizing max so one +inf cannot flatten every
+    finite score into a single bin.
+
+    The quantizer core is ``floor(x * 10^q + 0.5) / 10^q`` rather than
+    ``round(x, q)``: both Spark and DuckDB evaluate that expression
+    with the SAME IEEE double operations (division and multiplication are
+    exact-rounded, so the normalize/rescale legs are bit-identical too),
+    so the oracle bins boundary scores identically, whereas the engines'
+    native round() differ in half-way handling (Spark: decimal HALF_UP on
+    the shortest repr; DuckDB: binary-scaled). After normalization
+    |x|*10^q <= 10^q always fits in int64 (Spark's floor(double) yields
+    bigint) — for any score distribution, which the round-4 absolute form
+    could not claim."""
+    s = F.col(score_col).cast("double")
     if quantize is not None:
+        assert "_score_max" not in scores.columns, (
+            "scores frame already carries a _score_max column — rename it "
+            "before calling roc_auc/threshold_search (temp-column collision)"
+        )
+        finite = ~F.isnan(s) & (F.abs(s) != F.lit(float("inf")))
+        norm = scores.agg(F.max(F.when(finite, F.abs(s))).alias("_score_max"))
+        scores = scores.crossJoin(F.broadcast(norm))
         scale = F.lit(float(10 ** quantize))
-        s = F.floor(s * scale + F.lit(0.5)) / scale
+        denom = F.when(F.col("_score_max") > 0, F.col("_score_max")).otherwise(F.lit(1.0))
+        q = F.floor(s / denom * scale + F.lit(0.5)) / scale * denom
+        s = F.when(finite, q).otherwise(s)
     return scores.groupBy(s.alias("score")).agg(
         F.sum(F.col(label_col).cast("long")).alias("pos"), F.count(F.lit(1)).alias("n")
     )

@@ -24,6 +24,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _free_name(base: str, *column_sets: list[str]) -> str:
+    """A temp-column name guaranteed absent from every given column list
+    (advisor fix: hardcoded '_salt'/'_b' silently replaced + dropped a
+    caller's same-named column, corrupting the result with no error)."""
+    taken = {c for cols in column_sets for c in cols}
+    name = base
+    while name in taken:
+        name += "_"
+    return name
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -58,12 +69,15 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    # collision-free temp column (advisor fix: a caller column named _salt
+    # was silently overwritten by withColumn and dropped from the result)
+    salt_col = _free_name("_salt", big.columns, small.columns)
     fp = salt_from if salt_from is not None else F.struct(*[F.col(c) for c in big.columns])
-    b = big.withColumn("_salt", F.pmod(F.xxhash64(fp), F.lit(n_salts)).cast("int"))
+    b = big.withColumn(salt_col, F.pmod(F.xxhash64(fp), F.lit(n_salts)).cast("int"))
     s = small.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
     )
-    return b.join(s, [key, "_salt"], how).drop("_salt")
+    return b.join(s, [key, salt_col], how).drop(salt_col)
 
 
 def salted_distinct_count(
@@ -82,8 +96,10 @@ def salted_distinct_count(
     spreads the first stage but still merges per-key on one reducer; this
     shape also bounds the MERGE stage at n_salts partial counts per key.)
     """
+    b_col = _free_name("_b", df.columns)
+    d_col = _free_name("_d", df.columns)
     bucket = F.pmod(F.xxhash64(F.col(item).cast("string")), F.lit(n_salts))
-    per_bucket = df.groupBy(F.col(key), bucket.alias("_b")).agg(
-        F.countDistinct(item).alias("_d")
+    per_bucket = df.groupBy(F.col(key), bucket.alias(b_col)).agg(
+        F.countDistinct(item).alias(d_col)
     )
-    return per_bucket.groupBy(key).agg(F.sum("_d").alias("n_distinct"))
+    return per_bucket.groupBy(key).agg(F.sum(d_col).alias("n_distinct"))

@@ -32,11 +32,16 @@ def test_auc_quantize_bounds_histogram(spark):
     exact_hist = _score_hist(scores, "label", "score", quantize=None)
     q_hist = _score_hist(scores, "label", "score", quantize=6)
     assert exact_hist.count() == n  # continuous: cardinality == rows
-    # quantized histogram is bounded by the score RANGE, and smaller here
+    # quantized histogram is bounded (round-5: by 2*10^6+1 for ANY range,
+    # via max-abs normalization), and smaller here
     assert q_hist.count() < n
-    # every histogram score is exactly 6-decimal (the window input is the
-    # quantized column, never the raw doubles)
-    assert q_hist.filter(F.col("score") != F.round("score", 6)).count() == 0
+    # every histogram score sits on the normalized grid k/1e6 * max_abs
+    # (the window input is the quantized column, never the raw doubles)
+    mx = scores.agg(F.max(F.abs("score"))).first()[0]
+    off_grid = q_hist.filter(
+        F.col("score") != F.floor(F.col("score") / F.lit(mx) * 1e6 + 0.5) / 1e6 * F.lit(mx)
+    )
+    assert off_grid.count() == 0
     auc_exact = roc_auc(scores, quantize=None).first()["auc"]
     auc_q = roc_auc(scores).first()["auc"]
     assert abs(auc_exact - auc_q) < 1e-4
@@ -50,17 +55,30 @@ def test_auc_quantize_bounds_histogram(spark):
 def test_chronological_split_degenerate_ties(spark):
     """All-one-timestamp input: the percentile cutoff equals min(time), so
     the filter split would put EVERYTHING in test (empty train kills
-    .train()). The fallback percent_rank path must yield both sides
-    non-empty at ~the requested fractions, tie-broken by key."""
+    .train()). Round-5 fallback (advisor fix): the tied mass is hash-split
+    (partitioned — the round-4 global percent_rank window funnelled a 100 TB
+    coarse-timestamp input through one task), so fractions are approximate
+    like the shuffle=True path; both sides non-empty, no Window in the plan."""
     from sparklead.detectors.ad import train_test_split
 
-    df = spark.range(100).select(
+    n = 2000
+    df = spark.range(n).select(
         F.col("id").alias("seq_id"), F.lit(5).alias("start_time")
     )
     tr, te = train_test_split(df, test_frac=0.3, shuffle=False, time_col="start_time")
     n_tr, n_te = tr.count(), te.count()
-    assert n_tr + n_te == 100
-    assert n_tr == 70 and n_te == 30  # exact fractions on the fallback path
+    assert n_tr + n_te == n
+    assert abs(n_te - 0.3 * n) < 0.05 * n  # ~requested fraction, hash-split
+    # scale guarantee: the fallback plan contains NO window operator
+    assert "Window" not in te._jdf.queryExecution().executedPlan().toString()
+    # mixed ties: rows strictly after the tied minimum ALL land in test
+    df3 = spark.range(n).select(
+        F.col("id").alias("seq_id"),
+        F.when(F.col("id") < 0.9 * n, 5).otherwise(6).alias("start_time"),
+    )
+    tr3, te3 = train_test_split(df3, test_frac=0.3, shuffle=False, time_col="start_time")
+    assert tr3.filter(F.col("start_time") == 6).count() == 0
+    assert abs(te3.count() - 0.3 * n) < 0.05 * n
     # normal path untouched: distinct times still split by cutoff with
     # max(train) <= min(test)
     df2 = spark.range(100).select(
@@ -705,15 +723,21 @@ def test_quantizer_bitwise_identical_to_duckdb(spark):
     edge = [0.1234565, 0.1234575, 0.9999995, 1e-7, 4.9999999e-7, 0.5e-6, 123.4567895]
     rand = [((i * 2654435761) % 10_000_019) / 10_000_019.0 for i in range(500)]
     vals = edge + rand
+    # round-5: the quantizer normalizes by max(abs(score)) first — the whole
+    # normalize-quantize-rescale chain must stay bit-identical (div/mul are
+    # IEEE exact-rounded, so determinism survives the two extra ops); use an
+    # awkward non-power-of-two max so the division is inexact
+    mx = 123.4567895
     sdf = spark.createDataFrame([(v,) for v in vals], "x double").select(
-        (F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("q")
+        (F.floor(F.col("x") / F.lit(mx) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6) * F.lit(mx)).alias("q")
     )
     got_spark = [r["q"] for r in sdf.collect()]
     # CAST to DOUBLE: a bare decimal literal is DECIMAL in DuckDB (the real
     # oracle reads a parquet DOUBLE column, so double arithmetic applies)
     got_duck = [
         duckdb.sql(
-            f"SELECT floor(CAST({v!r} AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
+            f"SELECT floor(CAST({v!r} AS DOUBLE) / CAST({mx!r} AS DOUBLE)"
+            f" * 1000000.0 + 0.5) / 1000000.0 * CAST({mx!r} AS DOUBLE)"
         ).fetchone()[0]
         for v in vals
     ]
