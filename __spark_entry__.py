@@ -974,17 +974,26 @@ def _q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only entry, made self-certifying: every row carries the corpus
-    doc total and an order-invariant fold of all signatures, so signature
-    drift is visible across rounds even without a value hash."""
-    from sparklead.dedup import simhash_dedup
+    """ORACLE-CHECKED since round 5 (was rows-only/self-certifying): the
+    gate rides the engine-portable md5-nibble SimHash lane
+    (dedup.with_simhash_md5 — md5 bits, per-nibble majority, hex-string
+    signature), which DuckDB recomputes value-for-value; production paths
+    keep the ~4x-cheaper xxhash lane-packed with_simhash. The two lanes'
+    INCIDENTAL cross-doc collisions differ (different hash functions:
+    496 vs 499 groups here) — what pytest pins is each lane against a
+    pure-Python simhash reference and that identical token multisets
+    collide under both (tests/test_round5.py)."""
+    from sparklead.dedup import with_simhash_md5
 
-    docs = _fan(_read(spark, sf_dir, "documents")).select("doc_id", F.split("text", " ").alias("toks"))
+    docs = _fan(_read(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
     w = Window.partitionBy(F.lit(1))
     return (
-        simhash_dedup(docs, "toks")
+        with_simhash_md5(docs, "toks")
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
         .withColumn("corpus_docs", F.sum("n_dups").over(w))
-        .withColumn("corpus_fp", F.expr("bit_xor(xxhash64(simhash)) over ()"))
     )
 
 
@@ -1023,8 +1032,12 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verify. Near-dups are SEEDED (every 5th vector re-inserted at
     vec_id+10000 with a tiny uniform scale perturbation — cosine 1.0, same
     sign pattern, so the LSH bucket provably collides); the random corpus
-    has no >=0.95 pairs of its own. Rows-only: sign buckets are xxhash64-
-    derived (no DuckDB equivalent); recall is pinned in pytest."""
+    has no >=0.95 pairs of its own (measured margin: max non-seeded cosine
+    0.513). ORACLE-CHECKED since round 5: the xxhash64 sign buckets are
+    only CANDIDATE GENERATION — the semantic output (verified pairs +
+    components + keep/drop stats) is recomputed by DuckDB as brute-force
+    all-pairs cosine + recursive-CTE connected components, so a hash match
+    certifies LSH recall AND the decision layer against ground truth."""
     from sparklead.dedup import dedup_by_components, embedding_neardup, neardup_components
 
     emb = _fan(_read(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
@@ -1070,12 +1083,27 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEDIA_INPUT = "/tmp/sparklead_media_input"
+_media_written = False
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only; self-certifying: every row carries the corpus byte total,
-    so payload/extraction drift is visible without a value hash."""
+    """ORACLE-CHECKED since round 5 (was rows-only/self-certifying): the
+    synthetic media table is materialized to a fixed parquet (flagship
+    pattern — the gate runs Spark before the oracle) and DuckDB recomputes
+    media_id/kind passthrough + octet lengths + corpus byte total straight
+    from the bytes. A hash match certifies the Arrow mapInPandas lane
+    (extract_features) preserves every payload byte-exactly, drops or
+    duplicates no rows, and computes n_bytes correctly — the feature-
+    extraction PLUMBING verified against a plumbing-free recomputation
+    (the stubbed decode kernel's feature column is not a gate output)."""
     from sparklead.multimodal import extract_features, synth_media
 
-    media = synth_media(spark, 500)
+    global _media_written
+    if not _media_written:
+        synth_media(spark, 500).write.mode("overwrite").parquet(MEDIA_INPUT)
+        _media_written = True
+    media = spark.read.parquet(MEDIA_INPUT)
     return extract_features(media).select("media_id", "kind", "n_bytes").withColumn(
         "total_bytes", F.sum("n_bytes").over(Window.partitionBy(F.lit(1)))
     )
@@ -1084,6 +1112,26 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 # oracle_sql — DuckDB equivalents (same column names, same values)
 # =====================================================================
+
+def _simhash_md5_duck_expr() -> str:
+    """DuckDB expression rebuilding the md5-nibble SimHash signature from a
+    pre-projected ``hexes`` list column — the exact twin of
+    dedup.with_simhash_md5 (nibble value = hex-digit index, bit k of nibble
+    i = (v // 2^k) % 2, signature bit = majority 2*count > n, signature =
+    16 hex chars). Generated, because hand-writing 64 bit-counters invites
+    transcription bugs; the generation loop IS the spec."""
+    parts = []
+    for i in range(1, 17):
+        bits = []
+        for k in range(4):
+            bits.append(
+                "CASE WHEN 2*list_sum(list_transform(hexes, h -> "
+                f"(strpos('0123456789abcdef', substr(h,{i},1)) - 1) // {2**k} % 2)) "
+                f"> len(hexes) THEN {1 << k} ELSE 0 END"
+            )
+        parts.append(f"substr('0123456789abcdef', ({' + '.join(bits)}) + 1, 1)")
+    return " || ".join(parts)
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1583,11 +1631,88 @@ def oracle_sql() -> dict[str, str]:
             FROM enr
             GROUP BY source, si
         """,
+        # embedding_neardup (round-5): ORACLE-CHECKED against brute-force
+        # ground truth. The Spark side is LSH-candidates + exact verify +
+        # distributed label propagation; the oracle recomputes the SAME
+        # SPEC with entirely different algorithms — O(n^2) all-pairs cosine
+        # (no LSH; at sf0.01 the corpus is 600 vectors) and connected
+        # components via a recursive-CTE transitive closure (no iteration).
+        # A hash match therefore certifies BOTH the LSH recall (a missed
+        # pair = row-count mismatch) and the component/decision layer.
+        "embedding_neardup": """
+            WITH RECURSIVE corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000 AS vec_id,
+                     list_transform(embedding, x -> x * 1.001) AS embedding
+              FROM embeddings WHERE vec_id % 5 = 0
+            ), pairs AS (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+              FROM corpus a, corpus b
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+            ), edges AS (
+              SELECT a_id AS s, b_id AS d FROM pairs
+              UNION ALL
+              SELECT b_id, a_id FROM pairs
+            ), reach AS (
+              SELECT DISTINCT s AS id, s AS r FROM edges
+              UNION
+              SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+            ), comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY id
+            ), group_sizes AS (
+              SELECT component, count(*) AS group_size FROM comp GROUP BY component
+            ), stats AS (
+              SELECT (SELECT count(*) FROM corpus)
+                       - sum((id != component)::int)::bigint AS n_kept,
+                     count(DISTINCT component) AS n_groups,
+                     sum((id != component)::int)::bigint AS n_dropped
+              FROM comp
+            )
+            SELECT p.a_id, p.b_id, p.cosine, c.component, g.group_size,
+                   s.n_kept, s.n_groups, s.n_dropped
+            FROM pairs p
+            JOIN comp c ON p.a_id = c.id
+            JOIN group_sizes g ON c.component = g.component
+            CROSS JOIN stats s
+        """,
+        # multimodal_features (round-5): oracle via the materialized-input
+        # pattern — DuckDB recomputes the Arrow-lane output from the bytes.
+        "multimodal_features": f"""
+            WITH media AS (
+              SELECT * FROM read_parquet('{MEDIA_INPUT}/*.parquet')
+            )
+            SELECT media_id, kind,
+                   octet_length(payload)::int AS n_bytes,
+                   (SELECT sum(octet_length(payload))::bigint FROM media) AS total_bytes
+            FROM media
+        """,
+        # simhash_groups (round-5): the gate rides the md5-nibble SimHash
+        # lane (dedup.with_simhash_md5) so DuckDB can recompute every
+        # signature value-for-value — md5 bits, per-nibble bit-majority,
+        # identical tie rule (2*ones > n), hex-string signatures.
+        "simhash_groups": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_transform(string_split(text, ' ')[1:65535],
+                                    t -> substr(md5(t), 1, 16)) AS hexes
+              FROM documents
+            ), sigs AS (
+              SELECT doc_id, {_simhash_md5_duck_expr()} AS simhash FROM d
+            ), grouped AS (
+              SELECT simhash, count(*) AS n_dups, min(doc_id) AS keep_id
+              FROM sigs GROUP BY simhash
+            )
+            SELECT simhash, n_dups, keep_id,
+                   sum(n_dups) OVER ()::bigint AS corpus_docs
+            FROM grouped
+        """,
         # parser_templates / ad_predictions / streaming_route /
-        # simhash_groups / multimodal_features /
-        # ivf_topk: non-SQL-expressible (stateful mining, trained models,
-        # streaming runtime, 64-bit hash folds,
-        # pandas-UDF plumbing, KMeans centroids) -> rows-only.
+        # ivf_topk: non-SQL-expressible (stateful mining,
+        # trained models, streaming runtime, KMeans
+        # centroids) -> rows-only.
     }
 
 

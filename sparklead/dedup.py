@@ -281,6 +281,66 @@ def simhash_dedup(df: DataFrame, tokens_col: str, key_col: str = "doc_id") -> Da
     )
 
 
+HEX_ALPHABET = "0123456789abcdef"
+
+
+def with_simhash_md5(
+    df: DataFrame, tokens_col: str, out_col: str = "simhash", max_tokens: int = 65_535
+) -> DataFrame:
+    """Engine-PORTABLE SimHash lane: md5-derived bits, 16-hex-char signature.
+
+    The oracle twin of ``with_simhash`` (same md5-lane pattern as
+    lang_quality's fingerprint): each token's 64 bit sources are the first
+    16 hex chars of md5(token) read as nibbles, the signature is the
+    per-bit majority rebuilt nibble-by-nibble into a hex STRING — every
+    operation (md5, substring, hex-digit decode, integer div/mod) evaluates
+    identically in Spark and DuckDB, unlike xxhash64 which has no DuckDB
+    twin. Production paths keep ``with_simhash`` (xxhash lane-packed, ~4x
+    fewer folds, bigint signatures); this lane exists so the gated
+    simhash query can carry a full value oracle. Tie rule matches
+    with_simhash: bit set iff 2*count_of_ones > n.
+
+    Cost shape: one md5 per token (materialized ONCE as a column — Catalyst
+    does not CSE inside HOF lambdas), then 16 aggregate folds, each packing
+    the nibble's 4 bit-counters into one long (16-bit lanes, same trick as
+    with_simhash, same <65,536-token cap)."""
+    assert max_tokens < 65_536, "lane counters are 16-bit; the cap must stay under 65,536"
+    df = df.withColumn(
+        "_shm_h",
+        F.transform(
+            F.slice(F.col(tokens_col), 1, max_tokens),
+            lambda t: F.substring(F.md5(t), 1, 16),
+        ),
+    )
+
+    def _nibble_fold(i: int):
+        def fold(acc, h):
+            v = F.conv(F.substring(h, i, 1), 16, 10).cast("long")
+            packed = F.lit(0).cast("long")
+            for k in range(4):
+                bit = F.floor(v / F.lit(2**k)).cast("long") % 2
+                packed = packed + bit * F.lit(1 << (16 * k))
+            return acc + packed
+
+        return fold
+
+    for i in range(1, 17):
+        df = df.withColumn(
+            f"_shm_p{i}", F.aggregate(F.col("_shm_h"), F.lit(0).cast("long"), _nibble_fold(i))
+        )
+    n = F.size(F.col("_shm_h"))
+    chars = []
+    for i in range(1, 17):
+        nib = F.lit(0)
+        for k in range(4):
+            cnt = F.shiftrightunsigned(F.col(f"_shm_p{i}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+            nib = nib + F.when(cnt * 2 > n, F.lit(1 << k)).otherwise(F.lit(0))
+        chars.append(F.substr(F.lit(HEX_ALPHABET), nib + 1, F.lit(1)))
+    return df.withColumn(out_col, F.concat(*chars)).drop(
+        "_shm_h", *[f"_shm_p{i}" for i in range(1, 17)]
+    )
+
+
 # ------------------------------------------------------------------ components
 
 def neardup_components(

@@ -16,7 +16,11 @@ def test_oracle_keys_subset_of_queries():
     assert o <= q
     # every non-oracle query is documented as rows-only
     rows_only = q - o
-    assert rows_only == {"parser_templates", "ad_predictions", "streaming_route", "streaming_window", "simhash_groups", "pipeline_source_agg", "multimodal_features", "ivf_topk", "embedding_neardup"}
+    # round-5: pipeline_source_agg / multimodal_features gained
+    # materialized-input oracles, embedding_neardup a brute-force +
+    # recursive-CTE ground-truth oracle, simhash_groups an md5-nibble-lane
+    # oracle
+    assert rows_only == {"parser_templates", "ad_predictions", "streaming_route", "streaming_window", "ivf_topk"}
     # the driver gate records the first 50 entries — never exceed it
     assert len(q) <= 50
 

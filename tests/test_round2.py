@@ -120,9 +120,15 @@ def test_threshold_search_pinned(spark):
         [(1, 0.9), (1, 0.8), (0, 0.8), (0, 0.2)], "label int, score double"
     )
     # t=0.9: f1=2/3; t=0.8: tp=2,pp=3 -> f1=0.8; t=0.2: f1=2/3
-    r = threshold_search(df).first()
+    # exact logic pinned at quantize=None; the default (round-5
+    # range-normalized) quantizer perturbs thresholds by <= |t|*1e-6
+    # relative, so the default path is pinned at that tolerance
+    r = threshold_search(df, quantize=None).first()
     assert abs(r["best_thr"] - 0.8) < 1e-9
     assert abs(r["best_f1"] - 0.8) < 1e-9
+    rq = threshold_search(df).first()
+    assert abs(rq["best_thr"] - 0.8) < 1e-5
+    assert abs(rq["best_f1"] - 0.8) < 1e-5
 
 
 def test_evaluate_includes_auc(spark):
