@@ -103,8 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- §2.1 loaders (literal-row demos, oracled via VALUES)
         "bgl_load": _q_bgl_load,
         "multiline_merge": _q_multiline_merge,
-        "adfa_load": _q_adfa_load,
-        "awsctd_load": _q_awsctd_load,
+        "syscall_loads": _q_syscall_loads,
+        "hadoop_labels": _q_hadoop_labels,
         "pro_load": _q_pro_load,
         "lo2_load": _q_lo2_load,
         # ---- §2.7/§2.8 token/array ops
@@ -192,13 +192,18 @@ def _q_group_bool_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered group-concat (lo2.py:204 analog) — order key = event_id."""
+    """Ordered group-concat (lo2.py:204 analog) — order key = event_id.
+
+    Round-5: routed through the canonical ``enhancers.sequence.ordered_list``
+    helper (the struct-sort ordered list aggregate every list-valued op in
+    the repo uses, SURVEY §2 #34 — previously pytest-only) so the gate's
+    DuckDB ``string_agg(... ORDER BY ...)`` hash-verifies the library
+    aggregate itself, not an inline re-spelling of it."""
+    from sparklead.enhancers.sequence import ordered_list
+
     ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 200)
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("event_id", "event_type"))), lambda s: s["event_type"]
-    )
     return ev.groupBy(F.col("user_id").alias("seq_id")).agg(
-        F.concat_ws("\n", ordered).alias("joined")
+        F.concat_ws("\n", ordered_list("event_type", "event_id")).alias("joined")
     )
 
 
@@ -389,21 +394,75 @@ def _q_bgl_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("label", "normal", "anomaly", "node", "level", "m_timestamp", "m_message")
 
 
-_MULTILINE_LINES = [
-    ("2024-01-01 err start", "f1", 0),
-    ("  at trace line 1", "f1", 1),
-    ("  at trace line 2", "f1", 2),
-    ("2024-01-01 next entry", "f1", 3),
-    ("2024-01-01 other file", "f2", 4),
-]
+RAWTEXT_INPUT = "/tmp/sparklead_rawtext_input"
+_RAWTEXT_FILES = {
+    # f1's file-date is just AFTER midnight while its first entries log
+    # 23:59:5x — the midnight-rollover case combine_file_date corrects
+    "f1.log": "23:59:57 ERROR disk failing\n"
+    "  at io.Disk.write(Disk.java:11)\n"
+    "  at io.Disk.flush(Disk.java:22)\n"
+    "23:59:59 WARN retrying write\n"
+    "00:00:03 INFO recovered\n",
+    # f2 has an entry line WITHOUT a timestamp -> fill-lastseen target
+    "f2.log": "17:00:01 INFO job start\nno-ts entry standalone\n17:30:00 INFO job end\n",
+    # under min_file_size=10 -> dropped by the listing filter (§2 #3)
+    "tiny.log": "short\n",
+}
+_RAWTEXT_DATES = {"f1.log": "2024-01-02 00:10:00", "f2.log": "2024-01-05 18:00:00"}
+_rawtext_written = False
+
+
+def _write_rawtext_once() -> None:
+    global _rawtext_written
+    if _rawtext_written:
+        return
+    import os as _os
+
+    _os.makedirs(RAWTEXT_INPUT, exist_ok=True)
+    for name, content in _RAWTEXT_FILES.items():
+        with open(_os.path.join(RAWTEXT_INPUT, name), "w") as f:
+            f.write(content)
+    _rawtext_written = True
 
 
 def _q_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiline stack-trace merge via window sessionization (raw.py:171-194)."""
-    from sparklead.sources.raw import merge_multiline
+    """The full raw-text source pipeline over REAL files (round-5; was: the
+    merge step alone over literal rows). One chain, five previously
+    pytest-only SURVEY §2 ops now hash-verified end-to-end by the DuckDB
+    replay: raw line scan via spark.read.text (#1, raw.py:22), the
+    min_file_size listing filter dropping tiny.log (#3, raw.py:35),
+    explicit-key per-file row index (#47), multiline stack-trace merge via
+    window sessionization (#42, raw.py:171-194), timestamp-prefix extract +
+    strip + fill-lastseen for entries without one (#22, raw.py:143-169),
+    and date-from-file-metadata + time-of-day combine with MIDNIGHT
+    ROLLOVER correction (#21, raw.py:103-141 — f1 logs 23:59:5x against a
+    00:10 file date and must land on the previous day)."""
+    from sparklead.sources.raw import (
+        combine_file_date,
+        extract_timestamp_prefix,
+        load_text,
+        merge_multiline,
+    )
 
-    df = spark.createDataFrame(_MULTILINE_LINES, "m_message string, file_name string, line_nr long")
-    return merge_multiline(df).select("file_name", "line_nr", "m_message")
+    _write_rawtext_once()
+    df = load_text(spark, RAWTEXT_INPUT, min_file_size=10)
+    df = df.withColumn("file_name", F.regexp_extract("file_name", r"([^/]+)$", 1))
+    # monotonically_increasing_id is only WITHIN-file monotonic; the public
+    # row index is a per-file row_number over it (explicit order keys, #47)
+    df = df.withColumn(
+        "line_nr", F.row_number().over(Window.partitionBy("file_name").orderBy("line_nr"))
+    )
+    df = merge_multiline(df, pattern=r"^\S")
+    df = extract_timestamp_prefix(
+        df, pattern=r"^(\d{2}:\d{2}:\d{2}) ", fmt="HH:mm:ss", missing_action="fill-lastseen"
+    )
+    df = combine_file_date(df, _RAWTEXT_DATES)
+    return df.select(
+        "file_name",
+        F.col("line_nr").alias("entry_line"),
+        "m_message",
+        F.date_format("m_timestamp", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
 
 
 _ADFA_LINES = [
@@ -413,15 +472,6 @@ _ADFA_LINES = [
 ]
 
 
-def _q_adfa_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADFA loader: syscall-id explode + path-derived label + any-fold
-    (loaders/adfa.py:30-68) on literal rows so DuckDB can replay it."""
-    from sparklead.sources.datasets import adfa_events, adfa_sequences
-
-    df = spark.createDataFrame(_ADFA_LINES, "m_message string, file_path string")
-    return adfa_sequences(adfa_events(df)).select("seq_id", "n_events", "anomaly", "normal")
-
-
 _AWSCTD_LINES = [
     ("240,311,240,240,311,Clean", "CSV/Exploit1"),
     ("120,6,120,Virus", "CSV/Exploit2"),
@@ -429,16 +479,61 @@ _AWSCTD_LINES = [
 ]
 
 
-def _q_awsctd_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AWSCTD loader: trailing-label split + syscall-list slice
-    (loaders/awsctd.py:43-68; element_at/slice instead of row lambdas)."""
-    from sparklead.sources.datasets import awsctd_sequences
+def _q_syscall_loads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both syscall-sequence loaders in ONE seq-grain frame (round-5 merge of
+    the former adfa_load + awsctd_load entries — same table grain, merged to
+    free a gate slot under the 50-entry cap): ADFA's syscall-id explode +
+    path-derived label + any-fold (loaders/adfa.py:30-68) unionByName'd with
+    AWSCTD's trailing-label split + syscall-list slice (loaders/awsctd.py:
+    43-68); missing columns null-padded (#53)."""
+    from sparklead.sources.datasets import adfa_events, adfa_sequences, awsctd_sequences
 
-    df = spark.createDataFrame(_AWSCTD_LINES, "m_message string, seq_id string")
-    s = awsctd_sequences(df)
-    return s.select(
-        "seq_id", F.array_join("events", " ").alias("events_str"), "label", "normal", "anomaly"
+    a = spark.createDataFrame(_ADFA_LINES, "m_message string, file_path string")
+    adfa = (
+        adfa_sequences(adfa_events(a))
+        .select("seq_id", "n_events", "anomaly", "normal")
+        .withColumn("dataset", F.lit("adfa"))
     )
+    b = spark.createDataFrame(_AWSCTD_LINES, "m_message string, seq_id string")
+    awsctd = (
+        awsctd_sequences(b)
+        .select(
+            "seq_id", F.array_join("events", " ").alias("events_str"), "label", "normal", "anomaly"
+        )
+        .withColumn("dataset", F.lit("awsctd"))
+    )
+    return adfa.unionByName(awsctd, allowMissingColumns=True)
+
+
+_HADOOP_LABEL_LINES = [
+    "###WordCount###",
+    "Normal:",
+    "+ application_1445087491445_0001",
+    "+ application_1445087491445_0002",
+    "Machine down:",
+    "+ application_1445087491445_0005",
+    "###PageRank###",
+    "Normal:",
+    "+ application_1445087491445_0011",
+    "Disk full:",
+    "+ application_1445087491445_0013",
+    "+ application_1445087491445_0014",
+]
+
+
+def _q_hadoop_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadoop abnormal_label.txt parser (loaders/hadoop.py:112-133, SURVEY §2
+    #7 — previously pytest-only): a STATEFUL line scan where '###name###'
+    sets the current app, 'Label:' sets the current anomaly class, and '+'
+    lines emit (app_id, app_name, label) under both carried states. The
+    Spark side runs the real driver-side parser (the file is tiny and the
+    result broadcast-joins downstream); DuckDB replays the carried state
+    relationally as two last_value(IGNORE NULLS) windows over the line
+    index — an independent implementation of the same fold."""
+    from sparklead.sources.raw import parse_hadoop_labels
+
+    out = parse_hadoop_labels(spark, "\n".join(_HADOOP_LABEL_LINES))
+    return out.select("app_id", "app_name", F.col("Label").alias("label"))
 
 
 _PRO_LINES = [
@@ -616,36 +711,102 @@ def _q_line_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_diff(a, b).select("line_nr", "status")
 
 
+GELF_INPUT = "/tmp/sparklead_gelf_input"
+_gelf_written = False
+
+
+def _write_gelf_once() -> None:
+    """Materialize two deterministic GELF-ish JSON-lines batches with
+    DIFFERENT schemas (batch b lacks ``level``, adds ``facility``) — the
+    flagship materialized-input pattern: the gate runs Spark first, DuckDB
+    re-reads the same files."""
+    global _gelf_written
+    if _gelf_written:
+        return
+    import json as _json
+    import os as _os
+
+    _os.makedirs(GELF_INPUT, exist_ok=True)
+    with open(_os.path.join(GELF_INPUT, "a.jsonl"), "w") as f:
+        for i in range(40):
+            f.write(_json.dumps({"host": f"h{i % 3}", "short_message": f"msg {i}",
+                                 "timestamp": 1700000000 + i, "level": i % 8}) + "\n")
+    with open(_os.path.join(GELF_INPUT, "b.jsonl"), "w") as f:
+        for i in range(25):
+            f.write(_json.dumps({"host": f"h{i % 5}", "short_message": f"late {i}",
+                                 "timestamp": 1700000100 + i, "facility": "auth"}) + "\n")
+    _gelf_written = True
+
+
 def _q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unionByName with missing columns (vertical concat with column
-    standardization, nezha.py:101-115 / raw.py:81)."""
-    ev = _read(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_id") < 100).select("event_id", "event_type", "value")
-    b = ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200)).select("event_id", "event_type")
-    u = a.unionByName(b.withColumn("value", F.lit(None).cast("double")), allowMissingColumns=True)
-    return u.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    standardization, nezha.py:101-115 / raw.py:81) — round-5: over the REAL
+    JSON-lines source (``sources.raw.json_lines``, the GELF loader lane,
+    gelf.py:11-17, SURVEY §2 #4 — previously pytest-only): two materialized
+    jsonl batches with different schemas are loaded separately and
+    name-aligned, exactly the loader's multi-batch fan-in; DuckDB replays
+    with read_json(union_by_name=true)."""
+    from sparklead.sources.raw import json_lines
+
+    _write_gelf_once()
+    a = json_lines(spark, f"{GELF_INPUT}/a.jsonl",
+                   "host string, level bigint, short_message string, timestamp bigint")
+    b = json_lines(spark, f"{GELF_INPUT}/b.jsonl",
+                   "facility string, host string, short_message string, timestamp bigint")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("level").alias("sum_level"),
+        F.min("timestamp").alias("min_ts"),
+        F.max("timestamp").alias("max_ts"),
+        F.sum((F.col("facility") == "auth").cast("long")).alias("n_auth"),
     )
 
 
 def _q_auc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational ROC-AUC (rank-sum over the score histogram) + best-F1
     threshold sweep (anomaly_detection.py:426-530 analog) — no collect, no
-    sklearn; label = event_type=='error', score = value."""
-    from sparklead.detectors.ad import roc_auc, threshold_search
+    sklearn; label = event_type=='error', score = value. Round-5 addition:
+    the CHRONOLOGICAL train/test split (ad.py:train_test_split shuffle=False
+    — SURVEY §2 #50/#77, previously rows-only/pytest) rides the same
+    single-row frame: at accuracy >= n the percentile cutoff is EXACT (the
+    element at rank ceil((1-test_frac)*n)), so DuckDB recomputes the split
+    sizes and the boundary timestamps from an order statistic — hash-
+    verifying both the cutoff rule and the boundary-tie direction
+    (ties go to test: max(train) < cutoff <= min(test))."""
+    from sparklead.detectors.ad import roc_auc, threshold_search, train_test_split
 
     ev = _read(spark, sf_dir, "events")
     scores = ev.select(
         (F.col("event_type") == "error").cast("int").alias("label"),
         F.col("value").alias("score"),
     )
+    train, test = train_test_split(
+        ev, test_frac=0.25, shuffle=False, key_col="event_id", time_col="ts",
+        accuracy=1_000_000,
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    split_stats = train.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.date_format(F.max("ts"), fmt).alias("train_max_ts"),
+    ).crossJoin(
+        test.agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.date_format(F.min("ts"), fmt).alias("test_min_ts"),
+        )
+    )
     return (
         roc_auc(scores)
         .crossJoin(threshold_search(scores))
+        .crossJoin(split_stats)
         .select(
             F.round("auc", 6).alias("auc"),
             F.round("best_thr", 6).alias("best_thr"),
             F.round("best_f1", 6).alias("best_f1"),
+            "n_train",
+            "n_test",
+            "train_max_ts",
+            "test_min_ts",
         )
     )
 
@@ -1271,22 +1432,62 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(string_split(m_message, ' ')[10:], ' ') AS m_message
             FROM raw
         """,
-        "multiline_merge": """
-            WITH raw(m_message, file_name, line_nr) AS (VALUES
-              ('2024-01-01 err start', 'f1', 0),
-              ('  at trace line 1', 'f1', 1),
-              ('  at trace line 2', 'f1', 2),
-              ('2024-01-01 next entry', 'f1', 3),
-              ('2024-01-01 other file', 'f2', 4)
-            ), flagged AS (
-              SELECT *, CASE WHEN regexp_matches(m_message, '^\\d{4}-\\d{2}-\\d{2}') THEN 1 ELSE 0 END AS s
+        # multiline_merge (round-5): the WHOLE raw-text pipeline replayed
+        # from the same on-disk files. DuckDB re-reads the raw lines
+        # (delim=''/quote='' = one VARCHAR per line; insertion order is the
+        # line order for a serial small-file scan), rebuilds the per-file
+        # row index, sessionizes on the ^\S entry flag, strips+extracts the
+        # HH:mm:ss prefix, forward-fills missing entry timestamps, and
+        # applies the midnight-rollover date combine — entirely different
+        # reader and expression stack, same five-op spec. tiny.log is
+        # excluded by construction (the min_file_size=10 contract the Spark
+        # side must honor: including it would add rows -> hash mismatch).
+        "multiline_merge": f"""
+            WITH raw AS (
+              SELECT regexp_replace(filename, '^.*/', '') AS file_name, m_message,
+                     row_number() OVER () AS gnr
+              FROM read_csv(['{RAWTEXT_INPUT}/f1.log', '{RAWTEXT_INPUT}/f2.log'],
+                            columns={{'m_message': 'VARCHAR'}}, delim='', header=false,
+                            quote='', filename=true)
+            ), ranked AS (
+              SELECT file_name, m_message,
+                     row_number() OVER (PARTITION BY file_name ORDER BY gnr) AS line_nr,
+                     (NOT regexp_matches(m_message, '^\\s'))::int AS s
               FROM raw
             ), grouped AS (
-              SELECT *, sum(s) OVER (PARTITION BY file_name ORDER BY line_nr) AS entry_id FROM flagged
+              SELECT *, sum(s) OVER (PARTITION BY file_name ORDER BY line_nr) AS entry_id
+              FROM ranked
+            ), merged AS (
+              SELECT file_name, min(line_nr) AS entry_line,
+                     string_agg(m_message, chr(10) ORDER BY line_nr) AS m_message
+              FROM grouped GROUP BY file_name, entry_id
+            ), ext AS (
+              SELECT file_name, entry_line,
+                     regexp_replace(m_message, '^(\\d{{2}}:\\d{{2}}:\\d{{2}}) ', '') AS m_message,
+                     nullif(regexp_extract(m_message, '^(\\d{{2}}:\\d{{2}}:\\d{{2}}) ', 1), '') AS tod0
+              FROM merged
+            ), filled AS (
+              SELECT file_name, entry_line, m_message,
+                     last_value(tod0 IGNORE NULLS) OVER (
+                       PARTITION BY file_name ORDER BY entry_line
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tod
+              FROM ext
+            ), dated AS (
+              SELECT *,
+                     CASE file_name WHEN 'f1.log' THEN TIMESTAMP '{_RAWTEXT_DATES["f1.log"]}'
+                                    ELSE TIMESTAMP '{_RAWTEXT_DATES["f2.log"]}' END AS file_ts,
+                     CAST(substr(tod, 1, 2) AS INT) AS lh,
+                     CAST(substr(tod, 4, 2) AS INT) AS lm,
+                     CAST(substr(tod, 7, 2) AS INT) AS ls
+              FROM filled
             )
-            SELECT file_name, min(line_nr)::bigint AS line_nr,
-                   string_agg(m_message, chr(10) ORDER BY line_nr) AS m_message
-            FROM grouped GROUP BY file_name, entry_id
+            SELECT file_name, entry_line::int AS entry_line, m_message,
+                   CASE WHEN tod IS NULL THEN NULL ELSE
+                     strftime(CASE WHEN hour(file_ts)*3600 + minute(file_ts)*60 + second(file_ts)
+                                        < lh*3600 + lm*60 + ls AND lh = 23
+                                   THEN file_ts::date - 1 ELSE file_ts::date END, '%Y-%m-%d')
+                     || ' ' || tod END AS ts
+            FROM dated
         """,
         "doc_token_stats": """
             SELECT doc_id,
@@ -1385,13 +1586,17 @@ def oracle_sql() -> dict[str, str]:
                         WHEN a.msg = b.msg THEN 'same' ELSE 'changed' END AS status
             FROM a FULL OUTER JOIN b ON a.line_nr = b.line_nr
         """,
-        "union_by_name": """
-            SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value FROM (
-              SELECT event_id, event_type, value FROM events WHERE event_id < 100
-              UNION ALL
-              SELECT event_id, event_type, NULL::double AS value FROM events
-              WHERE event_id >= 100 AND event_id < 200
-            ) GROUP BY event_type
+        # union_by_name (round-5): the materialized GELF jsonl batches are
+        # re-read by DuckDB's own schema-unioning JSON reader — an
+        # independent implementation of both the source (#4) and the
+        # name-aligned vertical concat (#53).
+        "union_by_name": f"""
+            SELECT host, count(*) AS n, sum(level)::bigint AS sum_level,
+                   min(timestamp)::bigint AS min_ts, max(timestamp)::bigint AS max_ts,
+                   sum((facility = 'auth')::bigint)::bigint AS n_auth
+            FROM read_json('{GELF_INPUT}/*.jsonl', union_by_name=true,
+                           format='newline_delimited')
+            GROUP BY host
         """,
         "exact_dedup": """
             WITH corpus AS (
@@ -1472,12 +1677,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
         """,
-        "adfa_load": r"""
-            WITH raw(m_message, file_path) AS (VALUES
+        # syscall_loads (round-5): the former adfa_load + awsctd_load
+        # oracles, null-padded to the merged frame's unioned schema.
+        "syscall_loads": r"""
+            WITH adfa_raw(m_message, file_path) AS (VALUES
               ('6 6 63 6 42 120 6 195', 'ADFA-LD/Training_Data_Master/UTD-0001.txt'),
               ('240 311 240 311', 'ADFA-LD/Attack_Data_Master/Adduser_2_1/UAD-Adduser-1-2262.txt'),
               (' 6 174 174 6 ', 'ADFA-LD/Validation_Data_Master/UVD-0002.txt')
-            ), ev AS (
+            ), adfa_ev AS (
               SELECT unnest(list_filter(string_split(trim(m_message), ' '), t -> t <> '')) AS syscall,
                      regexp_replace(string_split(file_path, '/')[-1], '\.txt$', '') AS seq_id,
                      CASE WHEN contains(file_path, 'Attack_Data_Master') THEN
@@ -1485,32 +1692,55 @@ def oracle_sql() -> dict[str, str]:
                          list_slice(string_split(string_split(file_path, '/')[-2], '_'), 1,
                                     len(string_split(string_split(file_path, '/')[-2], '_')) - 1), '_')
                      ELSE 'Normal' END AS label
-              FROM raw
-            )
-            SELECT seq_id, count(*) AS n_events,
-                   max(CASE WHEN label <> 'Normal' THEN 1 ELSE 0 END)::boolean AS anomaly,
-                   min(CASE WHEN label = 'Normal' THEN 1 ELSE 0 END)::boolean AS normal
-            FROM ev GROUP BY seq_id
-        """,
-        "awsctd_load": """
-            WITH raw(m_message, seq_id) AS (VALUES
+              FROM adfa_raw
+            ), awsctd_raw(m_message, seq_id) AS (VALUES
               ('240,311,240,240,311,Clean', 'CSV/Exploit1'),
               ('120,6,120,Virus', 'CSV/Exploit2'),
               ('6,Clean', 'CSV/Exploit3')
-            ), s AS (
+            ), awsctd_s AS (
               SELECT seq_id, string_split(m_message, ',') AS parts,
                      CASE WHEN string_split(m_message, ',')[-1] = 'Clean' THEN 'Normal'
                           ELSE string_split(m_message, ',')[-1] END AS label
-              FROM raw
+              FROM awsctd_raw
             )
-            SELECT seq_id,
+            SELECT seq_id, count(*)::bigint AS n_events,
+                   max(CASE WHEN label <> 'Normal' THEN 1 ELSE 0 END)::boolean AS anomaly,
+                   min(CASE WHEN label = 'Normal' THEN 1 ELSE 0 END)::boolean AS normal,
+                   NULL::varchar AS events_str, NULL::varchar AS label, 'adfa' AS dataset
+            FROM adfa_ev GROUP BY seq_id
+            UNION ALL
+            SELECT seq_id, NULL::bigint AS n_events,
+                   label <> 'Normal' AS anomaly, label = 'Normal' AS normal,
                    CASE WHEN len(parts) > 1
                         THEN array_to_string(list_slice(parts, 1, len(parts) - 1), ' ') END AS events_str,
-                   label,
-                   label = 'Normal' AS normal,
-                   label <> 'Normal' AS anomaly
-            FROM s
+                   label, 'awsctd' AS dataset
+            FROM awsctd_s
         """,
+        # hadoop_labels (round-5): the stateful label-file parse replayed
+        # relationally — carried app/anomaly state = last_value(IGNORE
+        # NULLS) over the line index. VALUES generated from the SAME
+        # _HADOOP_LABEL_LINES constant the Spark parser consumes.
+        "hadoop_labels": """
+            WITH lines(idx, line) AS (VALUES {values}),
+            tagged AS (
+              SELECT idx,
+                CASE WHEN line LIKE '###%' THEN string_split(line, '###')[2] END AS name_mark,
+                CASE WHEN line NOT LIKE '###%' AND line LIKE '%:'
+                     THEN substr(line, 1, len(line) - 1) END AS label_mark,
+                CASE WHEN line LIKE '+%' THEN trim(string_split(line, '+')[2]) END AS app_id
+              FROM lines
+            ), filled AS (
+              SELECT app_id,
+                last_value(name_mark IGNORE NULLS) OVER (ORDER BY idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS app_name,
+                last_value(label_mark IGNORE NULLS) OVER (ORDER BY idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS label
+              FROM tagged
+            )
+            SELECT app_id, app_name, label FROM filled WHERE app_id IS NOT NULL
+        """.format(
+            values=", ".join(f"({i}, '{l}')" for i, l in enumerate(_HADOOP_LABEL_LINES, 1))
+        ),
         "pro_load": r"""
             WITH raw(m_message, seq_id) AS (VALUES
               ('1  12.05.2016 09:00:01.116 sysA  4  2  INFO  core started ok', 'success_run1.log'),
@@ -1597,11 +1827,29 @@ def oracle_sql() -> dict[str, str]:
             ), best AS (
               SELECT best_thr, best_f1 FROM sweep
               ORDER BY best_f1 DESC, best_thr ASC LIMIT 1
+            ),
+            -- round-5 chronological-split twin (ad.py:train_test_split,
+            -- shuffle=False, exact regime): cutoff = order statistic at
+            -- rank ceil((1-test_frac)*n); ties AT the cutoff go to test
+            cut AS (
+              SELECT ts AS cutoff FROM (
+                SELECT ts, row_number() OVER (ORDER BY ts) AS rn FROM events
+              ) WHERE rn = ceil(0.75 * (SELECT count(*) FROM events))
+            ), split AS (
+              SELECT
+                sum((ts < (SELECT cutoff FROM cut))::int)::bigint AS n_train,
+                sum((ts >= (SELECT cutoff FROM cut))::int)::bigint AS n_test,
+                strftime(max(CASE WHEN ts < (SELECT cutoff FROM cut) THEN ts END),
+                         '%Y-%m-%d %H:%M:%S.%f') AS train_max_ts,
+                strftime(min(CASE WHEN ts >= (SELECT cutoff FROM cut) THEN ts END),
+                         '%Y-%m-%d %H:%M:%S.%f') AS test_min_ts
+              FROM events
             )
             SELECT round((SELECT auc FROM auc), 6) AS auc,
                    round(best_thr, 6) AS best_thr,
-                   round(best_f1, 6) AS best_f1
-            FROM best
+                   round(best_f1, 6) AS best_f1,
+                   split.n_train, split.n_test, split.train_max_ts, split.test_min_ts
+            FROM best, split
         """,
         # pipeline_source_agg (round-5): the flagship north-rule query gets a
         # REAL oracle — the gate entry materializes the synthetic input to

@@ -35,6 +35,7 @@ def train_test_split(
     key_col: str = "seq_id",
     time_col: str = "start_time",
     method: str = "hash",
+    accuracy: int = 10_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic split. Shuffled = hash-bucket on the key (reproducible
     under any partitioning); chronological = percent_rank head/tail
@@ -81,8 +82,12 @@ def train_test_split(
         # the remaining test fraction. Fully partitioned, no global window;
         # fractions are approximate exactly like the shuffle=True hash path
         # (the scale-path trade already documented above).
+        # ``accuracy`` is the percentile sketch's compression bound: for
+        # n <= accuracy the cutoff is EXACT — the element at rank
+        # ceil((1-test_frac)*n) (gate-pinned vs DuckDB in q:auc_threshold);
+        # beyond that, approximate to ~n/accuracy ranks (pytest-pinned).
         stats = df_seq.agg(
-            F.percentile_approx(time_col, 1 - test_frac, 10_000).alias("c"),
+            F.percentile_approx(time_col, 1 - test_frac, accuracy).alias("c"),
             F.min(time_col).alias("lo"),
         ).first()
         cutoff = stats["c"]

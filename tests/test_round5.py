@@ -92,7 +92,11 @@ def test_auc_threshold_oracle_parity_with_new_quantizer(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
     want = con.execute(entrymod.oracle_sql()["auc_threshold"]).fetchone()
-    assert (got["auc"], got["best_thr"], got["best_f1"]) == want
+    # round-5: the entry also carries the chronological-split columns
+    assert (
+        got["auc"], got["best_thr"], got["best_f1"],
+        got["n_train"], got["n_test"], got["train_max_ts"], got["test_min_ts"],
+    ) == want
 
 
 # ------------------------------------- flagship oracle input materialization
