@@ -62,21 +62,75 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     )
 
 
-def minhash_signature_fast(shingles: Column, num_hashes: int = 16) -> Column:
-    """Production MinHash lane: per salt i, the numeric min of
-    xxhash64(shingle||i) — an array<long> signature.
+def shingle_hashes(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as 64-bit hashes (production lane).
 
-    Same LSH guarantees as the md5 lane (min of a uniform hash), but longs
-    instead of 32-char hex strings: no per-hash string allocation, 8-byte
-    comparisons in the min-fold, and 4x smaller signatures through the band
-    shuffle. The md5 lane stays for the DuckDB-oracle-checked gate query
-    (values are engine-portable there); the two lanes' signatures are NOT
+    No per-shingle string is ever materialized: ``xxhash64`` folds the
+    n-word array slice directly (Spark's hash functions recurse into array
+    elements), so a shingle costs one hash over n word references instead
+    of an array_join allocation + a hash over the joined string.
+    ``array_distinct`` on the hashes equals distinct-shingles up to 64-bit
+    collisions — and MinHash is statistically indifferent to collisions at
+    that rate. The md5/word_shingles string lane is unchanged (the
+    DuckDB-oracle gate and jaccard_verify need real shingle strings)."""
+    w = F.split(F.col(text_col), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.slice(w, i, n)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Production MinHash: (key, sig array<long>) via explode + hash-agg.
+
+    THE scale-path formulation (round-5; replaces the HOF fold inside
+    ``minhash_candidates``): higher-order functions evaluate INTERPRETED in
+    Spark — no whole-stage codegen inside lambdas — so a num_hashes x
+    n_shingles lambda fold runs at ~1-2k docs/s/8 cores. This shape keeps
+    every per-element operation in generated code: explode the pre-hashed
+    shingles (one narrow Generate), then ONE hash aggregate with
+    ``min(xxhash64(h, i))`` per salt — partial (map-side) aggregation
+    collapses the explode back to one row per doc BEFORE the shuffle, so
+    the exchange carries exactly n_docs x num_hashes longs no matter how
+    long the documents are. Measured 20x over the lambda fold at 20k
+    40-token docs (BENCH.md round-5 dedup table). The explode also spreads
+    single-split inputs across cores — no ``_fan`` needed."""
+    sh = df.select(
+        F.col(key_col).alias("id"), F.explode(shingle_hashes(text_col, shingle_n)).alias("h")
+    )
+    agg = sh.groupBy("id").agg(
+        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return agg.select("id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_signature_fast(shingle_hash: Column, num_hashes: int = 16) -> Column:
+    """Production MinHash lane over PRE-HASHED shingles (``shingle_hashes``):
+    per salt i, the numeric min of xxhash64(shingle_hash, i) — an
+    array<long> signature.
+
+    Same LSH guarantees as the md5 lane (min of a uniform hash family), but
+    the inner fold re-hashes an 8-byte long + int literal instead of
+    concatenating and hashing a ~100-char string per (shingle, salt).
+    Higher-order functions evaluate INTERPRETED in Spark (no whole-stage
+    codegen inside lambdas), so the num_hashes x n_shingles inner loop is
+    exactly where per-element cost multiplies: the round-5 re-measurement
+    at 20k 40-token docs cut candidate generation ~8x (see BENCH.md
+    round-5 dedup table; the prior string lane spent the time in
+    per-element concat allocations). The md5 lane stays for the
+    DuckDB-oracle-checked gate query; the two lanes' signatures are NOT
     comparable to each other."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))))
-        ),
+        lambda i: F.array_min(F.transform(shingle_hash, lambda h: F.xxhash64(h, i))),
     )
 
 
@@ -121,22 +175,42 @@ def minhash_candidates(
     exact-dedup / simhash-group paths are the right tool, not pairwise LSH.
 
     ``fast=True`` switches to the xxhash64 long-signature lane
-    (minhash_signature_fast) — the production path at corpus scale.
+    (minhash_signature_fast over pre-hashed shingles) — the production path
+    at corpus scale.
+
+    Plan shape (round-5 fix, measured 19x end-to-end at 20k 40-token docs:
+    128 s -> 6.7 s, BENCH.md dedup table): the fast lane routes through
+    ``minhash_signatures`` — explode + codegen'd partial-min hash aggregate
+    — instead of an interpreted HOF fold (the old shape additionally
+    re-evaluated that fold once per lineage branch of the self-join, up to
+    4x; the aggregate shape makes a re-evaluation cheap and keeps every
+    per-element op in whole-stage codegen — ``partial_min`` map-side
+    combine is pinned in tests/test_plans.py). The bucket cap is a
+    count-over-band window instead of a second aggregate + semi-join
+    branch, so capping adds zero extra scans of the signature stage.
     """
+    from pyspark.sql import Window
+
     rows = num_hashes // bands
-    sig_fn = minhash_signature_fast if fast else minhash_signature
-    sig = df.select(
-        F.col(key_col).alias("id"),
-        F.explode(minhash_bands(sig_fn(word_shingles(text_col, shingle_n), num_hashes), bands, rows)).alias("band"),
-    )
-    if max_bucket:
-        ok = (
-            sig.groupBy("band")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= max_bucket)
-            .select("band")
+    if fast:
+        sig_src = minhash_signatures(df, text_col, key_col, shingle_n, num_hashes)
+        band_col = minhash_bands(F.col("sig"), bands, rows)
+    else:
+        sig_src = df.select(
+            F.col(key_col).alias("id"),
+            minhash_signature(word_shingles(text_col, shingle_n), num_hashes).alias("sig"),
         )
-        sig = sig.join(ok, "band", "left_semi")
+        band_col = minhash_bands(F.col("sig"), bands, rows)
+    sig = sig_src.select("id", F.explode(band_col).alias("band"))
+    if max_bucket:
+        sig = (
+            sig.withColumn("_bn", F.count(F.lit(1)).over(Window.partitionBy("band")))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    else:
+        # still force the exchange so the self-join reuses one signature pass
+        sig = sig.repartition("band")
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -154,8 +228,28 @@ def jaccard_verify(
     shingle_n: int = 3,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Exact shingle-Jaccard on candidate pairs; keep pairs >= threshold."""
-    sh = df.select(F.col(key_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
+    """Exact shingle-Jaccard on candidate pairs; keep pairs >= threshold.
+
+    The corpus is pruned to candidate-TOUCHED docs before any shingling
+    (round-5; measured on the 2M-doc scale-up, BENCH.md dedup table): the
+    candidate id set is broadcast into a semi-join, so the expensive
+    word-shingle build and both verify joins run over O(|pairs|) docs
+    instead of the whole corpus — without the prune, the planner's bad
+    size estimate for the self-joined candidates flipped the verify joins
+    to SMJ and shuffled every doc's shingle set (the measured 3.2x
+    super-linear shuffle growth). The broadcast is bounded by the
+    candidate set itself, which ``max_bucket`` already caps per bucket —
+    a pair list too big to broadcast means banding/threshold are
+    degenerate, the same regime documented on minhash_candidates."""
+    ids = (
+        candidates.select(F.col("a_id").alias("id"))
+        .unionByName(candidates.select(F.col("b_id").alias("id")))
+        .distinct()
+    )
+    touched = df.join(
+        F.broadcast(ids), df[key_col] == ids["id"], "left_semi"
+    )
+    sh = touched.select(F.col(key_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
     j = (
         candidates.join(sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id")
         .join(sh.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")

@@ -114,3 +114,24 @@ def test_banded_lsh_broadcasts_queries_no_corpus_shuffle(spark, sf_dir):
     # the non-broadcast exchanges in the subtree between join and the
     # corpus scan would appear in this slice
     assert "Exchange hashpartitioning" not in below_join[:corpus_scan]
+
+
+def test_minhash_fast_lane_is_codegen_aggregate(spark, sf_dir):
+    """The production MinHash path (round-5 rework) must be the explode +
+    partial-min hash-aggregate shape — every per-element op in whole-stage
+    codegen, map-side combine collapsing the shingle explode back to one
+    row per doc BEFORE the shuffle — and must NOT contain an interpreted
+    higher-order fold over shingles (`aggregate(` lambdas) or per-shingle
+    string materialization (array_join inside the signature stage).
+    Measured basis: the HOF fold ran ~1.4k docs/s on 8 cores; this shape
+    ~19x that (BENCH.md round-5 dedup table)."""
+    from sparklead.dedup import minhash_candidates, minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig_plan = _physical(minhash_signatures(docs))
+    assert "partial_min" in sig_plan  # map-side combine before the exchange
+    cand_plan = _physical(minhash_candidates(docs, fast=True))
+    assert "partial_min" in cand_plan
+    # the only lambda work left in the fast lane is the cheap 16-element
+    # band split; the signature fold itself must not be a HOF aggregate
+    assert "aggregate(lambdafunction" not in cand_plan.lower().replace(" ", "")

@@ -1,0 +1,130 @@
+"""Dedup-family scale-up corroboration (round-5 extension of
+tools/scaleup_bench.py): run the three text-dedup paths — exact dedup,
+MinHash-LSH candidates + Jaccard verify, SimHash grouping — at two corpus
+sizes on the SAME cores and record per-op wall, docs/s, and the session's
+total shuffle volume from the Spark UI REST API.
+
+The dedup stack's 100-TB claims are bucket-boundedness ones (hash-agg for
+exact, per-bucket-capped band self-join for LSH, 16 lane-packed aggregate
+folds for SimHash): per-doc cost and shuffle bytes should grow ~linearly
+with the corpus, and nothing should blow up quadratically even though the
+corpus carries seeded exact (every 50th doc) and near (every 70th doc, one
+token changed) duplicates. This measures that instead of arguing it.
+
+Usage: python tools/dedup_scaleup.py [n_small] [n_large]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from scaleup_bench import _ui_stage_stats  # noqa: E402  (same tools/ dir)
+
+
+def synth_docs(spark, n_docs: int, partitions: int):
+    """Deterministic ~40-token docs over a 5k-word vocab with seeded
+    duplicate structure: every 50th doc repeats doc id-1 verbatim (exact
+    dup), every 70th repeats doc id-2 with its last token replaced (near
+    dup, shingle-Jaccard ~0.92)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, n_docs, numPartitions=partitions)
+    base = (
+        F.when(F.pmod("id", F.lit(50)) == 0, F.col("id") - 1)
+        .when(F.pmod("id", F.lit(70)) == 0, F.col("id") - 2)
+        .otherwise(F.col("id"))
+    )
+    df = df.select(F.col("id").alias("doc_id"), base.alias("b"))
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64("b", i), F.lit(5000))),
+    )
+    near = (F.pmod("doc_id", F.lit(70)) == 0) & (F.pmod("doc_id", F.lit(50)) != 0)
+    words = F.when(near, F.concat(F.slice(words, 1, 39), F.array(F.lit("znear")))).otherwise(words)
+    return df.select("doc_id", F.array_join(words, " ").alias("text"))
+
+
+def _force(df) -> int:
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c).cast("string") for c in df.columns]
+    df.select(F.xxhash64(F.struct(*cols)).alias("h")).agg(F.expr("bit_xor(h)")).collect()
+    return 0
+
+
+def run_at(n_docs: int, cpus: int = 8) -> dict:
+    from pyspark.sql import functions as F
+
+    from sparklead import get_spark
+    from sparklead.dedup import (
+        exact_dedup,
+        jaccard_verify,
+        minhash_candidates,
+        with_simhash,
+    )
+
+    spark = get_spark(f"dedup-scaleup-{n_docs}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp_in = tempfile.mkdtemp(prefix="sparklead_dsu_")
+    try:
+        synth_docs(spark, n_docs, cpus * 4).write.mode("overwrite").parquet(tmp_in)
+        docs = spark.read.parquet(tmp_in)
+        out: dict = {"n_docs": n_docs}
+
+        t0 = time.time()
+        _force(exact_dedup(docs))
+        out["exact_dedup_sec"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        cands = minhash_candidates(docs, fast=True)
+        _force(jaccard_verify(docs, cands))
+        out["minhash_lsh_verify_sec"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+        _force(with_simhash(toks, "toks").groupBy("simhash").agg(F.count(F.lit(1)).alias("n")))
+        out["simhash_group_sec"] = round(time.time() - t0, 3)
+
+        for k in ("exact_dedup", "minhash_lsh_verify", "simhash_group"):
+            out[f"{k}_docs_per_sec"] = round(n_docs / out[f"{k}_sec"], 1)
+        stats = _ui_stage_stats(spark.sparkContext.uiWebUrl)
+        out["shuffle_write_bytes"] = stats["shuffle_write_bytes"]
+        out["n_stages"] = stats["n_stages"]
+        return out
+    finally:
+        shutil.rmtree(tmp_in, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_large = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    small = run_at(n_small)
+    large = run_at(n_large)
+    ratio = n_large / n_small
+    out = {
+        "metric": "dedup-family scale-up (same cores, 2 corpus sizes)",
+        "small": small,
+        "large": large,
+        "throughput_ratio": {
+            k: round(large[f"{k}_docs_per_sec"] / small[f"{k}_docs_per_sec"], 3)
+            for k in ("exact_dedup", "minhash_lsh_verify", "simhash_group")
+        },
+        "shuffle_growth_vs_input_growth": round(
+            (large["shuffle_write_bytes"] / max(small["shuffle_write_bytes"], 1)) / ratio, 3
+        ),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
