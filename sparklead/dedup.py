@@ -113,21 +113,17 @@ def minhash_signatures(
 
 
 def minhash_signature_fast(shingle_hash: Column, num_hashes: int = 16) -> Column:
-    """Production MinHash lane over PRE-HASHED shingles (``shingle_hashes``):
-    per salt i, the numeric min of xxhash64(shingle_hash, i) — an
-    array<long> signature.
+    """Column-expression MinHash over PRE-HASHED shingles (``shingle_hashes``):
+    per salt i, the numeric min of xxhash64(shingle_hash, i).
 
-    Same LSH guarantees as the md5 lane (min of a uniform hash family), but
-    the inner fold re-hashes an 8-byte long + int literal instead of
-    concatenating and hashing a ~100-char string per (shingle, salt).
-    Higher-order functions evaluate INTERPRETED in Spark (no whole-stage
-    codegen inside lambdas), so the num_hashes x n_shingles inner loop is
-    exactly where per-element cost multiplies: the round-5 re-measurement
-    at 20k 40-token docs cut candidate generation ~8x (see BENCH.md
-    round-5 dedup table; the prior string lane spent the time in
-    per-element concat allocations). The md5 lane stays for the
-    DuckDB-oracle-checked gate query; the two lanes' signatures are NOT
-    comparable to each other."""
+    Same hash family and therefore the same signature VALUES as
+    ``minhash_signatures`` — use this form only when the signature must be
+    one column among others in a no-shuffle projection. It evaluates as an
+    interpreted HOF fold (Spark runs no codegen inside lambdas), so the
+    production candidate path routes through ``minhash_signatures``
+    (explode + codegen'd partial-min aggregate, ~20x at 20k docs — BENCH.md
+    round-5 dedup table) instead. The md5 lane stays for the DuckDB-oracle
+    gate query; md5 and xxhash signatures are NOT comparable."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(F.transform(shingle_hash, lambda h: F.xxhash64(h, i))),

@@ -257,3 +257,30 @@ def test_route_resume_surfaces_genuine_plan_bugs(spark, tmp_path):
             {"a": lambda: spark.read.parquet(src).select("id")}, out, resume=True
         )
     assert r["a"].get("resumed") is True
+
+
+# ------------------------------------- minhash fast-lane forms agree
+
+def test_minhash_fast_forms_value_identical(spark):
+    """The column-expression form (minhash_signature_fast over
+    shingle_hashes) and the production explode+aggregate form
+    (minhash_signatures) must produce IDENTICAL signature arrays — same
+    hash family, different physical shape. Pins the docstring claim that
+    the two are interchangeable lanes of one signature definition."""
+    from sparklead.dedup import minhash_signature_fast, minhash_signatures, shingle_hashes
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "one two"), (3, "single"), (4, "a b c d e f g h i j k")],
+        "doc_id int, text string",
+    )
+    col_form = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", minhash_signature_fast(shingle_hashes("text"), 16).alias("sig")
+        ).collect()
+    }
+    agg_form = {
+        r["id"]: r["sig"] for r in minhash_signatures(docs, num_hashes=16).collect()
+    }
+    assert col_form == agg_form
