@@ -362,12 +362,60 @@ def simhash64(tokens: Column) -> Column:
     return sig
 
 
+def simhash_signatures(
+    df: DataFrame, tokens_col: str, key_col: str = "doc_id", max_tokens: int = 65_535
+) -> DataFrame:
+    """(key, simhash) via explode + codegen'd packed-lane aggregate —
+    VALUE-IDENTICAL to ``with_simhash`` (pinned in tests/test_round5.py).
+
+    Same arithmetic as with_simhash's lane-packed fold (sum over tokens of
+    ``(xxhash64(t) >> k) & 0x0001000100010001`` per k, majority per bit),
+    but as 16 sum() aggregate columns over an exploded token stream instead
+    of 16 interpreted HOF folds — Spark runs no codegen inside lambdas, so
+    the aggregate shape keeps the per-token work in generated code and
+    map-side partial sums collapse the explode before any shuffle (the
+    same rework that bought MinHash 19x, BENCH.md round-5 dedup table).
+    Use this form at doc grain (dedup grouping); with_simhash remains for
+    narrow projections that must not shuffle (token_vectors keeps the whole
+    staged sink one scan). explode_outer + null guards preserve empty-token
+    docs as signature 0, exactly like with_simhash; the same <65,536-token
+    slice cap keeps the 16-bit lanes carry-free."""
+    assert max_tokens < 65_536, "lane counters are 16-bit; the cap must stay under 65,536"
+    ex = df.select(
+        F.col(key_col).alias("id"),
+        F.explode_outer(F.slice(F.col(tokens_col), 1, max_tokens)).alias("_t"),
+    )
+    h = F.xxhash64("_t")
+    lane = F.lit(_LANE_MASK).cast("long")
+    packs = [
+        F.sum(
+            F.when(F.col("_t").isNotNull(), F.shiftright(h, k).bitwiseAND(lane)).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias(f"_p{k}")
+        for k in range(16)
+    ]
+    agg = ex.groupBy("id").agg(F.count("_t").alias("_n"), *packs)
+    n = F.col("_n")
+    sig = F.lit(0).cast("long")
+    for b, m in enumerate(_bit_masks()):
+        k, ln = b % 16, b // 16
+        cnt = F.shiftrightunsigned(F.col(f"_p{k}"), 16 * ln).bitwiseAND(F.lit(0xFFFF))
+        sig = sig.bitwiseOR(
+            F.when(cnt * 2 > n, F.lit(m).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("id", sig.alias("simhash"))
+
+
 def simhash_dedup(df: DataFrame, tokens_col: str, key_col: str = "doc_id") -> DataFrame:
-    """Exact-signature SimHash groups: (simhash, n_dups, keep_id)."""
+    """Exact-signature SimHash groups: (simhash, n_dups, keep_id).
+
+    Round-5: rides the ``simhash_signatures`` aggregate form (signature
+    values unchanged — see its docstring and the parity pin)."""
     return (
-        with_simhash(df.select(key_col, tokens_col), tokens_col)
+        simhash_signatures(df.select(key_col, tokens_col), tokens_col, key_col)
         .groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(key_col).alias("keep_id"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("id").alias("keep_id"))
     )
 
 

@@ -284,3 +284,26 @@ def test_minhash_fast_forms_value_identical(spark):
         r["id"]: r["sig"] for r in minhash_signatures(docs, num_hashes=16).collect()
     }
     assert col_form == agg_form
+
+
+def test_simhash_agg_form_value_identical(spark):
+    """simhash_signatures (explode + packed-lane aggregate, the round-5
+    doc-grain form) must produce bit-identical signatures to with_simhash
+    (the narrow lane-packed fold) — including empty token arrays (sig 0)
+    and the 65,535-token prefix cap."""
+    from sparklead.dedup import simhash_signatures, with_simhash
+
+    docs = [
+        (1, "the quick brown fox".split()),
+        (2, []),
+        (3, ["single"]),
+        (4, "a b a b a c".split()),
+        (5, ["x"] * 700),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id int, toks array<string>")
+    narrow = {
+        r["doc_id"]: r["simhash"]
+        for r in with_simhash(sdf, "toks").select("doc_id", "simhash").collect()
+    }
+    agg = {r["id"]: r["simhash"] for r in simhash_signatures(sdf, "toks").collect()}
+    assert narrow == agg

@@ -69,7 +69,7 @@ def run_at(n_docs: int, cpus: int = 8) -> dict:
         exact_dedup,
         jaccard_verify,
         minhash_candidates,
-        with_simhash,
+        simhash_signatures,
     )
 
     spark = get_spark(f"dedup-scaleup-{n_docs}", master=f"local[{cpus}]", shuffle_partitions=cpus)
@@ -91,7 +91,9 @@ def run_at(n_docs: int, cpus: int = 8) -> dict:
 
         t0 = time.time()
         toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-        _force(with_simhash(toks, "toks").groupBy("simhash").agg(F.count(F.lit(1)).alias("n")))
+        _force(
+            simhash_signatures(toks, "toks").groupBy("simhash").agg(F.count(F.lit(1)).alias("n"))
+        )
         out["simhash_group_sec"] = round(time.time() - t0, 3)
 
         for k in ("exact_dedup", "minhash_lsh_verify", "simhash_group"):
