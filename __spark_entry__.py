@@ -105,8 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_merge": _q_multiline_merge,
         "syscall_loads": _q_syscall_loads,
         "hadoop_labels": _q_hadoop_labels,
-        "pro_load": _q_pro_load,
-        "lo2_load": _q_lo2_load,
+        "textlog_loads": _q_textlog_loads,
+        "route_manifests": _q_route_manifests,
         # ---- §2.7/§2.8 token/array ops
         "doc_token_stats": _q_doc_token_stats,
         "vocabulary": _q_vocabulary,
@@ -542,15 +542,47 @@ _PRO_LINES = [
 ]
 
 
-def _q_pro_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pro loader: whitespace squeeze + 8-field split w/ remainder +
-    dd.MM.yyyy time concat parse + filename normal flag (loaders/pro.py:23-48)."""
-    from sparklead.sources.datasets import pro_events
+def _q_textlog_loads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both text-log loaders in ONE frame (round-5 merge of the former
+    pro_load + lo2_load entries — same literal-row loader grain, merged to
+    free a gate slot under the 50-entry cap): Pro's whitespace squeeze +
+    8-field split w/ remainder + dd.MM.yyyy time concat parse + filename
+    normal flag (loaders/pro.py:23-48) unionByName'd with LO2's
+    timestamp-prefix extract + multi-format coalesce parse + drop-null-ts +
+    seq fold w/ ordered concat (loaders/lo2.py:120,200-246); missing
+    columns null-padded. LO2 times compared as formatted strings — the
+    engines' default DATE for a time-only parse differs (Spark 1970 vs
+    strptime 1900), which the reference itself calls out (lo2.py:219)."""
+    from sparklead.sources.datasets import lo2_events, lo2_sequences, pro_events
 
-    df = spark.createDataFrame(_PRO_LINES, "m_message string, seq_id string")
-    return pro_events(df).select(
-        "seq_id", "count", "system", "log_level", "m_message", "m_timestamp", "normal"
+    pro = (
+        pro_events(spark.createDataFrame(_PRO_LINES, "m_message string, seq_id string"))
+        .select(
+            "seq_id", "count", "system", "log_level", "m_message",
+            F.date_format("m_timestamp", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts_str"),
+            "normal",
+        )
+        .withColumn("dataset", F.lit("pro"))
     )
+    lo2 = (
+        lo2_sequences(
+            lo2_events(
+                spark.createDataFrame(
+                    _LO2_LINES, "m_message string, run string, test_case string, service string"
+                )
+            )
+        )
+        .select(
+            "seq_id",
+            "m_message",
+            "normal",
+            "anomaly",
+            F.date_format("start_time", "HH:mm:ss.SSS").alias("start_hms"),
+            F.date_format("end_time", "HH:mm:ss.SSS").alias("end_hms"),
+        )
+        .withColumn("dataset", F.lit("lo2"))
+    )
+    return pro.unionByName(lo2, allowMissingColumns=True)
 
 
 _LO2_LINES = [
@@ -561,24 +593,55 @@ _LO2_LINES = [
 ]
 
 
-def _q_lo2_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LO2 loader: timestamp-prefix extract + multi-format coalesce parse +
-    drop-null-ts + seq fold w/ ordered concat (loaders/lo2.py:120,200-246).
-    Times are compared as formatted strings — the engines' default DATE for
-    a time-only parse differs (Spark 1970 vs strptime 1900), which the
-    reference itself calls out (lo2.py:219)."""
-    from sparklead.sources.datasets import lo2_events, lo2_sequences
+ROUTE_GATE_DIR = "/tmp/sparklead_route_gate"
+_route_gate_done = False
 
-    df = spark.createDataFrame(_LO2_LINES, "m_message string, run string, test_case string, service string")
-    out = lo2_sequences(lo2_events(df))
-    return out.select(
-        "seq_id",
-        "m_message",
-        "normal",
-        "anomaly",
-        F.date_format("start_time", "HH:mm:ss.SSS").alias("start_hms"),
-        F.date_format("end_time", "HH:mm:ss.SSS").alias("end_hms"),
+
+def _q_route_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink + footer-manifest snapshot/resume — routing.route
+    (sparklead/routing.py:36,67,78; ref: the reference's parquet save/load
+    loaders surface, e.g. loaders/base.py save_parquets — SURVEY §2 #8,
+    previously pytest-only). The entry WRITES two sinks through the real
+    router (fresh dir), routes a second time with resume=True (which must
+    SKIP both sinks off their committed manifests), and returns per sink:
+    the first-write manifest row count, the resumed manifest row count, and
+    an actual re-count of the parquet the router wrote. The oracle
+    recomputes all three from GROUND TRUTH: the expected counts directly
+    from the events table, the actual from read_parquet over the same sink
+    dirs — so a hash match certifies the written content, the
+    footer-manifest's row accounting, AND that resume returned the same
+    committed state rather than rewriting or drifting."""
+    import os as _os
+    import shutil as _shutil
+
+    from sparklead import routing
+
+    global _route_gate_done
+    ev = _read(spark, sf_dir, "events")
+    sinks = {
+        "by_type": lambda: ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        "head200": lambda: ev.filter(F.col("event_id") < 200).select(
+            "event_id", "event_type", "value"
+        ),
+    }
+    if not _route_gate_done:
+        _shutil.rmtree(ROUTE_GATE_DIR, ignore_errors=True)
+        _route_gate_done = True
+    m1 = routing.route(sinks, ROUTE_GATE_DIR, resume=False)
+    m2 = routing.route(sinks, ROUTE_GATE_DIR, resume=True)
+    mdf = spark.createDataFrame(
+        [(name, m1[name]["rows"], m2[name]["rows"]) for name in sinks],
+        "sink string, m1_rows long, m2_rows long",
     )
+    reread = None
+    for name in sinks:
+        c = (
+            spark.read.parquet(_os.path.join(ROUTE_GATE_DIR, name))
+            .agg(F.count(F.lit(1)).alias("actual_rows"))
+            .select(F.lit(name).alias("sink"), "actual_rows")
+        )
+        reread = c if reread is None else reread.unionByName(c)
+    return mdf.join(reread, "sink")
 
 
 # ---------------------------------------------------------------- §2.7/2.8
@@ -1741,46 +1804,71 @@ def oracle_sql() -> dict[str, str]:
         """.format(
             values=", ".join(f"({i}, '{l}')" for i, l in enumerate(_HADOOP_LABEL_LINES, 1))
         ),
-        "pro_load": r"""
-            WITH raw(m_message, seq_id) AS (VALUES
+        # textlog_loads (round-5): the former pro_load + lo2_load oracles,
+        # null-padded to the merged frame's unioned schema.
+        "textlog_loads": r"""
+            WITH pro_raw(m_message, seq_id) AS (VALUES
               ('1  12.05.2016 09:00:01.116 sysA  4  2  INFO  core started ok', 'success_run1.log'),
               ('2 12.05.2016 09:00:02.250 sysB 4 3 WARN buffer   low', 'fail_run2.log')
             ), sp AS (
               SELECT seq_id,
                      string_split(trim(regexp_replace(m_message, '\s+', ' ', 'g')), ' ') AS p
-              FROM raw
+              FROM pro_raw
+            ), lo2_raw(m_message, run, test_case, service) AS (VALUES
+              ('09:00:01.123 GET /token ok', 'run1', 'correct', 'oauth2-oauth2-token'),
+              ('09:00:02.456 POST /token created', 'run1', 'correct', 'oauth2-oauth2-token'),
+              ('09:01:02.456 GET /token denied', 'run1', 'key-error', 'oauth2-oauth2-token'),
+              ('no timestamp on this line', 'run1', 'correct', 'oauth2-oauth2-token')
+            ), lo2_ev AS (
+              SELECT m_message,
+                     try_strptime(regexp_extract(m_message, '^(\d{2}:\d{2}:\d{2}\.\d{3})', 1),
+                                  '%H:%M:%S.%g') AS m_timestamp,
+                     run || '__' || test_case || '__' || service AS seq_id,
+                     test_case = 'correct' AS normal
+              FROM lo2_raw
+              WHERE regexp_extract(m_message, '^(\d{2}:\d{2}:\d{2}\.\d{3})', 1) <> ''
             )
             SELECT seq_id,
                    p[1] AS "count",
                    p[4] AS "system",
                    p[7] AS log_level,
                    array_to_string(list_slice(p, 8, len(p)), ' ') AS m_message,
-                   try_strptime(p[2] || p[3], '%d.%m.%Y%H:%M:%S.%g') AS m_timestamp,
-                   starts_with(seq_id, 'success') AS normal
+                   strftime(try_strptime(p[2] || p[3], '%d.%m.%Y%H:%M:%S.%g'),
+                            '%Y-%m-%d %H:%M:%S.%g') AS ts_str,
+                   starts_with(seq_id, 'success') AS normal,
+                   NULL::boolean AS anomaly, NULL::varchar AS start_hms,
+                   NULL::varchar AS end_hms, 'pro' AS dataset
             FROM sp
-        """,
-        "lo2_load": r"""
-            WITH raw(m_message, run, test_case, service) AS (VALUES
-              ('09:00:01.123 GET /token ok', 'run1', 'correct', 'oauth2-oauth2-token'),
-              ('09:00:02.456 POST /token created', 'run1', 'correct', 'oauth2-oauth2-token'),
-              ('09:01:02.456 GET /token denied', 'run1', 'key-error', 'oauth2-oauth2-token'),
-              ('no timestamp on this line', 'run1', 'correct', 'oauth2-oauth2-token')
-            ), ev AS (
-              SELECT m_message,
-                     try_strptime(regexp_extract(m_message, '^(\d{2}:\d{2}:\d{2}\.\d{3})', 1),
-                                  '%H:%M:%S.%g') AS m_timestamp,
-                     run || '__' || test_case || '__' || service AS seq_id,
-                     test_case = 'correct' AS normal
-              FROM raw
-              WHERE regexp_extract(m_message, '^(\d{2}:\d{2}:\d{2}\.\d{3})', 1) <> ''
-            )
+            UNION ALL
             SELECT seq_id,
+                   NULL::varchar AS "count", NULL::varchar AS "system",
+                   NULL::varchar AS log_level,
                    string_agg(m_message, chr(10) ORDER BY m_timestamp, m_message) AS m_message,
+                   NULL::varchar AS ts_str,
                    max(normal::int)::boolean AS normal,
                    (1 - max(normal::int))::boolean AS anomaly,
                    strftime(min(m_timestamp), '%H:%M:%S.%g') AS start_hms,
-                   strftime(max(m_timestamp), '%H:%M:%S.%g') AS end_hms
-            FROM ev GROUP BY seq_id
+                   strftime(max(m_timestamp), '%H:%M:%S.%g') AS end_hms,
+                   'lo2' AS dataset
+            FROM lo2_ev GROUP BY seq_id
+        """,
+        # route_manifests (round-5): ground-truth twin of the router's
+        # accounting — expected rows recomputed from the events table, the
+        # actual from DuckDB's OWN read of the parquet the router wrote.
+        "route_manifests": f"""
+            WITH exp AS (
+              SELECT 'by_type' AS sink, count(DISTINCT event_type)::bigint AS n FROM events
+              UNION ALL
+              SELECT 'head200', count(*)::bigint FROM events WHERE event_id < 200
+            ), act AS (
+              SELECT 'by_type' AS sink,
+                     (SELECT count(*) FROM read_parquet('{ROUTE_GATE_DIR}/by_type/*.parquet'))::bigint AS actual_rows
+              UNION ALL
+              SELECT 'head200',
+                     (SELECT count(*) FROM read_parquet('{ROUTE_GATE_DIR}/head200/*.parquet'))::bigint
+            )
+            SELECT e.sink, e.n AS m1_rows, e.n AS m2_rows, a.actual_rows
+            FROM exp e JOIN act a USING (sink)
         """,
         "auc_threshold": """
             WITH m AS (
