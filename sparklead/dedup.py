@@ -617,6 +617,43 @@ def dedup_by_components(
     return df.join(drops, key_col, "left_anti")
 
 
+def neardup_text_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """One-call TEXT near-dedup: exact-dup collapse -> MinHash-LSH
+    candidates -> exact Jaccard verify -> connected-component grouping ->
+    keep the min-id representative per group.
+
+    The text twin of the embedding path's ``embedding_neardup`` +
+    ``dedup_by_components`` composition (the standard LLM-corpus recipe:
+    exact first — mass duplicates would otherwise form degenerate LSH
+    buckets the ``max_bucket`` cap drops — then banded MinHash for the
+    near misses; cf. the reference's derive-b-from-a sampling shape,
+    base.py:127-149, applied corpus-wide). Every stage is the round-5
+    codegen-shaped fast lane: md5 hash-agg exact groups, explode +
+    partial-min aggregate signatures, count-over-window bucket cap,
+    candidate-pruned verify. Verified pairs are MATERIALIZED via the
+    persisted component labels inside ``dedup_by_components`` — the same
+    ownership contract applies (caller clears cache after materializing).
+
+    Returns the deduplicated frame: ``df``'s columns for every kept row.
+    Exact duplicates keep the min-key member; near-duplicate groups keep
+    the min-key member of each verified connected component."""
+    exact_keep = exact_dedup(df, text_col, key_col)
+    cands = minhash_candidates(
+        exact_keep, text_col, key_col, shingle_n, num_hashes, bands, max_bucket, fast=True
+    )
+    verified = jaccard_verify(exact_keep, cands, text_col, key_col, shingle_n, threshold)
+    return dedup_by_components(exact_keep, verified, key_col)
+
+
 # ------------------------------------------------------------------ embedding near-dup
 
 def embedding_neardup_candidates(

@@ -307,3 +307,30 @@ def test_simhash_agg_form_value_identical(spark):
     }
     agg = {r["id"]: r["simhash"] for r in simhash_signatures(sdf, "toks").collect()}
     assert narrow == agg
+
+
+# ------------------------------------- one-call text near-dedup
+
+def test_neardup_text_dedup_end_to_end(spark):
+    """neardup_text_dedup must collapse exact duplicates to the min-key
+    member, then collapse verified near-duplicate groups (one-token edits)
+    to their min-key member, and pass every unique doc through untouched —
+    the full exact->LSH->verify->components->keep chain in one call."""
+    from sparklead.dedup import neardup_text_dedup
+
+    # per-doc-unique token namespaces: zero cross-doc shingle overlap by
+    # construction (a modular generator here accidentally created GENUINE
+    # near-dups between distinct base docs and failed the first draft)
+    base = [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(40)]
+    rows = list(base)
+    rows.append((100, base[5][1]))             # exact dup of doc 5
+    rows.append((101, base[5][1]))             # second exact dup of doc 5
+    near = base[7][1].rsplit(" ", 1)[0] + " zz"  # one-token edit of doc 7
+    rows.append((102, near))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in neardup_text_dedup(df, threshold=0.5).collect()}
+    # exact dups 100/101 collapse onto 5; near dup 102 collapses onto 7
+    assert 5 in kept and 7 in kept
+    assert kept.isdisjoint({100, 101, 102})
+    assert kept == set(range(40))
+    spark.catalog.clearCache()
