@@ -227,24 +227,30 @@ def jaccard_verify(
     """Exact shingle-Jaccard on candidate pairs; keep pairs >= threshold.
 
     The corpus is pruned to candidate-TOUCHED docs before any shingling
-    (round-5; measured on the 2M-doc scale-up, BENCH.md dedup table): the
-    candidate id set is broadcast into a semi-join, so the expensive
-    word-shingle build and both verify joins run over O(|pairs|) docs
-    instead of the whole corpus — without the prune, the planner's bad
-    size estimate for the self-joined candidates flipped the verify joins
-    to SMJ and shuffled every doc's shingle set (the measured 3.2x
-    super-linear shuffle growth). The broadcast is bounded by the
-    candidate set itself, which ``max_bucket`` already caps per bucket —
-    a pair list too big to broadcast means banding/threshold are
-    degenerate, the same regime documented on minhash_candidates."""
+    (round-5; measured on the 2M-doc scale-up, BENCH.md dedup table): a
+    semi-join on the candidate id set keeps the expensive word-shingle
+    build and both verify joins over O(|pairs|) docs instead of the whole
+    corpus — without the prune, the planner's bad size estimate for the
+    self-joined candidates flipped the verify joins to SMJ and shuffled
+    every doc's shingle set (the measured 3.2x super-linear shuffle
+    growth).
+
+    Round-6 (advisor fix): the semi-join is HINT-FREE. ``max_bucket``
+    caps candidates per BUCKET, not in total, so on duplicate-heavy
+    corpora the id set is only softly bounded and a forced ``broadcast``
+    hint turned into a driver OOM / broadcast-size error instead of a
+    graceful slowdown. The id set sits directly behind its own
+    ``distinct`` exchange, so AQE sees its TRUE runtime size and still
+    converts the semi-join to broadcast whenever it genuinely is small —
+    and degrades to a partitioned hash join when it is not. The ids
+    branch also references ``candidates`` ONCE (explode of both columns,
+    not a two-branch union), so exchange reuse dedups the candidate
+    self-join plan across the ids/verify references in the final query."""
     ids = (
-        candidates.select(F.col("a_id").alias("id"))
-        .unionByName(candidates.select(F.col("b_id").alias("id")))
+        candidates.select(F.explode(F.array("a_id", "b_id")).alias("id"))
         .distinct()
     )
-    touched = df.join(
-        F.broadcast(ids), df[key_col] == ids["id"], "left_semi"
-    )
+    touched = df.join(ids, df[key_col] == ids["id"], "left_semi")
     sh = touched.select(F.col(key_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
     j = (
         candidates.join(sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id")
@@ -377,25 +383,39 @@ def simhash_signatures(
     same rework that bought MinHash 19x, BENCH.md round-5 dedup table).
     Use this form at doc grain (dedup grouping); with_simhash remains for
     narrow projections that must not shuffle (token_vectors keeps the whole
-    staged sink one scan). explode_outer + null guards preserve empty-token
-    docs as signature 0, exactly like with_simhash; the same <65,536-token
-    slice cap keeps the 16-bit lanes carry-free."""
+    staged sink one scan). posexplode_outer + pos-null guards preserve
+    empty-token docs as signature 0, exactly like with_simhash; the same
+    <65,536-token slice cap keeps the 16-bit lanes carry-free.
+
+    NULL-ELEMENT parity (round-6, advisor fix): a null TOKEN inside a
+    non-empty array must count — with_simhash sizes the sliced array (nulls
+    included) and folds xxhash64(null), which is Spark's hash seed (42).
+    explode_outer couldn't tell a null element from an empty array (both
+    emit _t=null), so this lane previously dropped null tokens from n AND
+    from the packs, breaking the pinned bit-identity. posexplode_outer
+    disambiguates: a null ELEMENT carries a non-null position, an
+    empty/null ARRAY emits pos=null. Guard on pos, and xxhash64(null)=42
+    flows through the packs exactly like the narrow lane (pinned in
+    tests/test_round5.py null-token case)."""
     assert max_tokens < 65_536, "lane counters are 16-bit; the cap must stay under 65,536"
     ex = df.select(
         F.col(key_col).alias("id"),
-        F.explode_outer(F.slice(F.col(tokens_col), 1, max_tokens)).alias("_t"),
+        F.posexplode_outer(F.slice(F.col(tokens_col), 1, max_tokens)).alias("_pos", "_t"),
     )
-    h = F.xxhash64("_t")
+    h = F.xxhash64("_t")  # xxhash64(null) == seed (42), matching with_simhash's fold
     lane = F.lit(_LANE_MASK).cast("long")
+    is_elem = F.col("_pos").isNotNull()
     packs = [
         F.sum(
-            F.when(F.col("_t").isNotNull(), F.shiftright(h, k).bitwiseAND(lane)).otherwise(
+            F.when(is_elem, F.shiftright(h, k).bitwiseAND(lane)).otherwise(
                 F.lit(0).cast("long")
             )
         ).alias(f"_p{k}")
         for k in range(16)
     ]
-    agg = ex.groupBy("id").agg(F.count("_t").alias("_n"), *packs)
+    agg = ex.groupBy("id").agg(
+        F.coalesce(F.sum(is_elem.cast("long")), F.lit(0)).alias("_n"), *packs
+    )
     n = F.col("_n")
     sig = F.lit(0).cast("long")
     for b, m in enumerate(_bit_masks()):

@@ -92,11 +92,20 @@ def train_test_split(
         ).first()
         cutoff = stats["c"]
         if cutoff is None or cutoff == stats["lo"]:
+            # ALL-NULL time guard (round-6, advisor fix): with lo=None the
+            # comparison `time > lit(None)` is null, so `is_test = null | ...`
+            # dropped every u>=frac row from BOTH sides (null negated is
+            # still null) — the exact empty-train failure this branch exists
+            # to prevent. Null-aware gt: a row counts as "after the cutoff"
+            # only when its time is non-null AND strictly greater; null
+            # times join the tied mass and are hash-split.
+            if stats["lo"] is None:
+                gt = F.lit(False)
+            else:
+                gt = F.col(time_col).isNotNull() & (F.col(time_col) > F.lit(stats["lo"]))
             counts = df_seq.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.coalesce(
-                    F.sum((F.col(time_col) > F.lit(stats["lo"])).cast("long")), F.lit(0)
-                ).alias("n_gt"),
+                F.coalesce(F.sum(gt.cast("long")), F.lit(0)).alias("n_gt"),
             ).first()
             n_ties = counts["n"] - counts["n_gt"]
             want = test_frac * counts["n"] - counts["n_gt"]
@@ -105,11 +114,14 @@ def train_test_split(
                 F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.lit(1_000_000))
                 / 1_000_000.0
             )
-            is_test = (F.col(time_col) > F.lit(stats["lo"])) | (u < F.lit(frac))
+            is_test = gt | (u < F.lit(frac))
             train = df_seq.filter(~is_test)
             test = df_seq.filter(is_test)
         else:
-            train = df_seq.filter(F.col(time_col) < F.lit(cutoff))
+            # null times sort first (polars/pandas head-tail puts nulls in
+            # the head) -> train side; without the coalesce a partially-null
+            # time column silently dropped null rows from BOTH filters.
+            train = df_seq.filter(F.col(time_col).isNull() | (F.col(time_col) < F.lit(cutoff)))
             test = df_seq.filter(F.col(time_col) >= F.lit(cutoff))
     return train, test
 

@@ -296,10 +296,14 @@ def parse_drain(
         # fix); real corruption should surface, not be clobbered
         from pyspark.errors import AnalysisException
 
+        from ..routing import is_missing_input_error
+
         try:
             miner = DrainMiner.load_templates(df.sparkSession, template_path, sim_th, max_clusters)
         except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            # round-6 advisor fix: shared class-based predicate, not
+            # message-substring matching (see routing.is_missing_input_error)
+            if not is_missing_input_error(e):
                 raise
             miner = DrainMiner(sim_th, max_clusters).fit(df, tokens_col)
             miner.save_templates(df.sparkSession, template_path)

@@ -329,12 +329,19 @@ def iplom_templates(
     base = iplom_keyed(df.select(tokens_col), tokens_col, **kw)
     out = _s4_templates(base, tokens_col)
     if pst > 0:
-        # PST denominator from the sizes aggregate itself (unbounded window
-        # over the template-sized frame), not a count() job over the data
-        from pyspark.sql import Window
+        # PST denominator from the sizes aggregate itself, not a count()
+        # job over the data. Round-6: 1-row agg + broadcast crossJoin (was
+        # an unbounded window — bounded here since the frame is
+        # template-sized, but the no-literal-partition-window invariant is
+        # now uniform and plan-gated, tests/test_entry.py).
+        from pyspark.sql.functions import broadcast
 
-        total = F.sum("part_len").over(Window.partitionBy())
-        out = out.withColumn("is_outlier", F.col("part_len") / total.cast("double") < pst)
+        total = out.agg(F.sum("part_len").cast("double").alias("_pst_total"))
+        out = (
+            out.crossJoin(broadcast(total))
+            .withColumn("is_outlier", F.col("part_len") / F.col("_pst_total") < pst)
+            .drop("_pst_total")
+        )
     return out.select("template_id", "template", "part_len", *(["is_outlier"] if pst > 0 else []))
 
 

@@ -125,16 +125,22 @@ def pl_iplom_templates(
         )
     )
     sizes = base.groupBy("part_key").agg(F.count(F.lit(1)).alias("part_len"))
-    # the FST denominator comes from the sizes aggregate itself (an unbounded
-    # window over the TEMPLATE-sized frame), not a separate count() job over
-    # the data-sized input (round-2 plan-audit fix: one fewer full scan)
-    from pyspark.sql import Window
+    # the FST denominator comes from the sizes aggregate itself, not a
+    # separate count() job over the data-sized input (round-2 plan-audit
+    # fix: one fewer full scan). Round-6: a 1-row agg broadcast-cross-joined
+    # back instead of an unbounded window — the frame is template-sized so
+    # the old single-task window was bounded, but the uniform no-literal-
+    # partition-window invariant is now plan-gated across every gated entry
+    # (tests/test_entry.py).
+    from pyspark.sql.functions import broadcast
 
-    total = F.sum("part_len").over(Window.partitionBy())
+    total = sizes.agg(F.sum("part_len").cast("double").alias("_fst_total"))
     return (
         templates.join(sizes, "part_key")
+        .crossJoin(broadcast(total))
         .withColumn("template_id", F.concat(F.lit("e"), F.substring(F.md5("template"), 1, 8)))
-        .withColumn("is_outlier", F.col("part_len") / total.cast("double") < support_threshold)
+        .withColumn("is_outlier", F.col("part_len") / F.col("_fst_total") < support_threshold)
+        .drop("_fst_total")
     )
 
 

@@ -33,6 +33,38 @@ from pyspark.sql import DataFrame
 MANIFEST = "_sparklead_manifest.json"
 
 
+def is_missing_input_error(e: BaseException) -> bool:
+    """True ONLY for Spark's missing-input-path analysis error.
+
+    Round-6 advisor fix: the resume escapes here and in mining/drain.py
+    previously substring-matched the exception MESSAGE ('PATH_NOT_FOUND' /
+    'Path does not exist'), which breaks both ways — a Spark release that
+    rewords the message turns an archived-input no-op resume into a hard
+    failure, and a genuine plan bug whose message mentions a missing path
+    silently resumes stale data. Match the stable error CLASS instead
+    (AnalysisException.getCondition() == 'PATH_NOT_FOUND'; getErrorClass()
+    is the pre-4.0 spelling), falling back to the message only when the
+    class API is absent/returns nothing (very old Spark).
+    """
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover - pyspark always present here
+        return False
+    if not isinstance(e, AnalysisException):
+        return False
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is None:
+            continue
+        try:
+            cond = fn()
+        except Exception:
+            continue
+        if cond:
+            return cond == "PATH_NOT_FOUND"
+    return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+
+
 def _footer_counts(path: str) -> list[tuple[str, int]]:
     """Per-output-file row counts from parquet footers — metadata-only,
     driver-side, no second scan of the data."""
@@ -125,7 +157,9 @@ def route(
                 # resume stale data and re-fail downstream where it is
                 # harder to attribute (round-5, advisor fix). The escape is
                 # announced with a RuntimeWarning so the skip is visible.
-                if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                # Round-6: matched by error CLASS (is_missing_input_error),
+                # not message substrings.
+                if not is_missing_input_error(e):
                     raise
                 import warnings
 
