@@ -35,7 +35,16 @@ HEADLINE = [
     "lang_quality_fast",  # private entry fn — xxhash winnowing lane (md5 lane stays gated)
     "doc_token_stats",
     "drain_templates",  # private entry fn — miners are gated via parser_templates
+    # private entry fn — the one-call dedup composition (exact -> LSH ->
+    # verify -> components -> keep) over the seeded-dup 20k corpus; added
+    # round-6 (judge item #4) so stage-plan regressions show in BENCH_r{N}
+    "neardup_text_dedup",
 ]
+
+# queries whose library contract leaves a caller-owned cache (component
+# labels) — bench releases it after timing so repeats measure cold runs and
+# nothing persisted outlives the suite
+CLEAR_CACHE_AFTER = {"neardup_text_dedup"}
 
 
 def _force(df) -> None:
@@ -102,6 +111,8 @@ def run_headline() -> dict:
             t0 = time.time()
             _force(fn(spark, sf_dir))
             runs.append(round(time.time() - t0, 3))
+            if name in CLEAR_CACHE_AFTER:
+                spark.catalog.clearCache()
         times[name] = round(_median(runs), 3)
         spread[name] = [min(runs), round(_median(runs), 3), max(runs)]
     total = round(sum(times.values()), 3)

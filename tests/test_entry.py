@@ -21,8 +21,9 @@ def test_oracle_keys_subset_of_queries():
     # round-5: pipeline_source_agg / multimodal_features gained
     # materialized-input oracles, embedding_neardup a brute-force +
     # recursive-CTE ground-truth oracle, simhash_groups an md5-nibble-lane
-    # oracle
-    assert rows_only == {"parser_templates", "ad_predictions", "streaming_route", "streaming_window", "ivf_topk"}
+    # oracle; round-6: streaming_window gained a materialized-input
+    # watermark-replay oracle and ivf_topk a scoring-layer oracle
+    assert rows_only == {"parser_templates", "ad_predictions", "streaming_route"}
     # the driver gate records the first 50 entries — never exceed it
     assert len(q) <= 50
 
