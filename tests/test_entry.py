@@ -23,7 +23,12 @@ def test_oracle_keys_subset_of_queries():
     # recursive-CTE ground-truth oracle, simhash_groups an md5-nibble-lane
     # oracle; round-6: streaming_window gained a materialized-input
     # watermark-replay oracle and ivf_topk a scoring-layer oracle
-    assert rows_only == {"parser_templates", "ad_predictions", "streaming_route"}
+    # round-6 second wave: ad_predictions gained a materialized
+    # weights+features scoring oracle, streaming_route a materialized-input
+    # rollup replay — parser_templates is the LAST rows-only entry (its
+    # ground truth is the runnable reference miners, pinned in
+    # tests/test_iplom_parity.py)
+    assert rows_only == {"parser_templates"}
     # the driver gate records the first 50 entries — never exceed it
     assert len(q) <= 50
 

@@ -175,11 +175,11 @@ def test_rowsonly_baseline_recorded_and_stable(spark):
         baseline = json.load(f)
     rows_only = set(entrymod.queries()) - set(entrymod.oracle_sql())
     assert set(baseline["sf0.01"]) == rows_only
-    # round-6: streaming_window and ivf_topk graduated to oracle entries;
-    # streaming_route is the cheapest remaining rows-only entry (synthetic
-    # 2k-doc availableNow fan-out, content-deterministic): recompute its hash
-    pdf = entrymod._q_streaming_route(spark, "/root/testdata/sf0.01").toPandas()
-    rec = baseline["sf0.01"]["streaming_route"]
+    # round-6: streaming_window/ivf_topk/ad_predictions/streaming_route all
+    # graduated to oracle entries; parser_templates is the LAST rows-only
+    # entry — recompute its hash against the committed baseline
+    pdf = entrymod._q_parser_templates(spark, "/root/testdata/sf0.01").toPandas()
+    rec = baseline["sf0.01"]["parser_templates"]
     assert (len(pdf), cc.value_hash(pdf)) == (rec["rows"], rec["hash"])
 
 

@@ -163,6 +163,13 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(sdf)} rows")
             passed += 1
+    if update and not only:
+        # prune entries that have since graduated to oracle coverage —
+        # test_round5 pins set(baseline) == the current rows-only set
+        for stale in set(base_sf) - (set(qs) - set(oracles)):
+            del base_sf[stale]
+            baseline_dirty = True
+            print(f"(pruned graduated rows-only baseline entry: {stale})")
     if baseline_dirty:
         _save_baseline(baseline)
         print(f"(rows-only fingerprint baseline updated: {BASELINE_PATH})")

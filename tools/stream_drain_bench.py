@@ -95,12 +95,20 @@ def run_at(batch_lines: int) -> dict:
         out["incremental_batches_run"] = len(versions)
         out["n_templates_path"] = [v["n_templates"] for v in versions]
 
-        # per-arrival batch refit over growing prefixes
-        t0 = time.time()
+        # per-arrival batch refit over growing prefixes; per-arrival times
+        # recorded so the marginal-cost SLOPE is visible (refit's per-arrival
+        # cost grows with the accumulated corpus; incremental's is flat)
+        refit_times = []
         for i in range(N_BATCHES):
+            t0 = time.time()
             prefix = spark.read.parquet(*[os.path.join(inp, f"b{j}") for j in range(i + 1)])
             DrainMiner().fit(prefix, "e_words")
-        out["batch_refit_total_sec"] = round(time.time() - t0, 3)
+            refit_times.append(round(time.time() - t0, 3))
+        out["batch_refit_per_arrival_sec"] = refit_times
+        out["batch_refit_total_sec"] = round(sum(refit_times), 3)
+        out["incremental_per_arrival_sec"] = round(
+            out["incremental_total_sec"] / N_BATCHES, 3
+        )
         out["speedup"] = round(out["batch_refit_total_sec"] / out["incremental_total_sec"], 2)
 
         inc = load_latest_drain_templates(spark, tdir)
