@@ -16,19 +16,12 @@ def test_oracle_keys_subset_of_queries():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert o <= q
-    # every non-oracle query is documented as rows-only
-    rows_only = q - o
-    # round-5: pipeline_source_agg / multimodal_features gained
-    # materialized-input oracles, embedding_neardup a brute-force +
-    # recursive-CTE ground-truth oracle, simhash_groups an md5-nibble-lane
-    # oracle; round-6: streaming_window gained a materialized-input
-    # watermark-replay oracle and ivf_topk a scoring-layer oracle
-    # round-6 second wave: ad_predictions gained a materialized
-    # weights+features scoring oracle, streaming_route a materialized-input
-    # rollup replay — parser_templates is the LAST rows-only entry (its
-    # ground truth is the runnable reference miners, pinned in
-    # tests/test_iplom_parity.py)
-    assert rows_only == {"parser_templates"}
+    # round-6 third wave: parser_templates — the last rows-only entry —
+    # gained a materialized-assignment oracle (DuckDB recomputes every
+    # template per-position, the md5 id-derivation rule, and the per-miner
+    # fingerprints from the assignment table alone). EVERY gate entry now
+    # carries a DuckDB value oracle; keep it that way.
+    assert q - o == set()
     # the driver gate records the first 50 entries — never exceed it
     assert len(q) <= 50
 

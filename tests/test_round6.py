@@ -343,3 +343,34 @@ def test_ivf_auto_fit_fraction_closes_deep_prefix(spark, tmp_path):
     # auto fraction: uniform over the whole corpus, both clusters covered
     a, b = sides(_ivf_fit(vecs, n_centroids=4, seed=42, fit_sample=fit_sample, fit_fraction=frac))
     assert a >= 1 and b >= 1
+
+
+# --------------------------- parser_templates materialized-assignment oracle
+
+def test_parser_templates_oracle_parity(spark):
+    """Round-6 third wave: the LAST rows-only entry graduated. DuckDB must
+    recompute the ENTIRE parser_templates frame from the materialized
+    per-line assignments alone — per-position template extraction, the
+    'e'+md5(template)[:8] id-derivation rule, n_tpl, and the sorted
+    template-set md5 fold. This pins the extraction-layer invariant (every
+    miner's stored template == the per-position recompute over its own
+    final assignment, no orphan ids, no assignment-free templates) for all
+    SEVEN miners in-process, so the sf0.01 gate never sees a surprise."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import crosscheck as cc
+
+    import __spark_entry__ as entrymod
+
+    pdf = entrymod._q_parser_templates(spark, "/root/testdata/sf0.001").toPandas()
+    odf = duckdb.connect().execute(entrymod.oracle_sql()["parser_templates"]).fetch_df()
+    assert len(pdf) == len(odf)
+    assert sorted(pdf.columns) == sorted(odf.columns)
+    assert cc.value_hash(pdf) == cc.value_hash(odf)
+    # all seven miners present, each with a consistent per-miner fingerprint
+    assert set(pdf["miner"]) == {"drain", "iplom", "pl_iplom", "ael", "brain", "spell", "lenma"}
+    assert pdf.groupby("miner")["miner_fp"].nunique().eq(1).all()
