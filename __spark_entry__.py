@@ -220,15 +220,52 @@ def _q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_OUTPUT = "/tmp/sparklead_sample_out"
+_sample_written_for: str | None = None
+
+
 def _q_semi_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sampling-reducer semi-join (base.py:140): keep events of kept seqs."""
+    """Sampling-reducer semi-join (base.py:127-149), BOTH regimes tagged by
+    ``variant``: 'mod10' keeps a deterministic predicate-defined seq set
+    (fully SQL-replayable), 'seeded_sample' runs the real library operator
+    ``sources.raw.sample_sequences`` (seeded Bernoulli ``df.sample`` + the
+    same semi-join reduction — the reference's derive-b-from-a sampling).
+
+    PARTIAL ORACLE for the sampled variant (round-6 fourth wave — graduates
+    SURVEY §2 #54 from pytest-only; same materialized-output pattern as
+    ivf_topk/ad_predictions): the RNG draw stays engine-specific, but the
+    kept-id set is materialized to SAMPLE_OUTPUT and both engines consume
+    those bytes, so the hash certifies the semi-join reduction layer
+    value-for-value. ``n_kept_seqs`` carries the subset certification: the
+    Spark side counts the materialized rows, DuckDB counts the DISTINCT
+    materialized ids that EXIST among the source's seq ids — a sample row
+    that is not a real seq id, or a duplicate draw (Bernoulli sampling is
+    without replacement), breaks the hash. Seed determinism of the draw
+    itself is pinned in pytest (tests/test_sources.py)."""
     ev = _read(spark, sf_dir, "events")
-    kept = ev.select(F.col("user_id").alias("seq_id")).distinct().filter(F.col("seq_id") % 10 == 0)
-    return (
-        ev.join(kept, ev.user_id == kept.seq_id, "left_semi")
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    global _sample_written_for
+    if _sample_written_for != sf_dir:
+        from sparklead.sources.raw import sample_sequences
+
+        _, kept = sample_sequences(
+            ev, ev.select("user_id").distinct(), fraction=0.3, seed=42, seq_col="user_id"
+        )
+        kept.write.mode("overwrite").parquet(SAMPLE_OUTPUT)
+        _sample_written_for = sf_dir
+
+    def reduce(tag: str, ids: DataFrame) -> DataFrame:
+        stats = ids.agg(F.count(F.lit(1)).alias("n_kept_seqs"))
+        return (
+            ev.join(ids, ev.user_id == ids.seq_id, "left_semi")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(tag).alias("variant"), "event_type", "n")
+            .crossJoin(broadcast(stats))
+        )
+
+    mod10 = ev.select(F.col("user_id").alias("seq_id")).distinct().filter(F.col("seq_id") % 10 == 0)
+    sampled = spark.read.parquet(SAMPLE_OUTPUT).select(F.col("user_id").alias("seq_id"))
+    return reduce("mod10", mod10).unionByName(reduce("seeded_sample", sampled))
 
 
 def _q_aggregate_back_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1291,7 +1328,26 @@ def _q_ad_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The totals ride a 1-row agg broadcast-cross-joined back (round-6 judge
     item #1 — a Window.partitionBy(lit(1)) here would funnel the test set
-    through one task at the design scale)."""
+    through one task at the design scale).
+
+    PERMUTATION-SPLIT evidence (round-6 fourth wave — graduates SURVEY §2
+    #55, the reference's exact-fraction global random permutation,
+    anomaly_detection.py:197 sample(fraction=1.0, shuffle=True)): the same
+    synthetic seq frame is split with ``method='permutation'`` and the full
+    (seq_id, is_test) assignment materialized to AD_PRED_OUTPUT/perm. The
+    returned n_perm_train/n_perm_test RECOUNT the materialized sides, while
+    DuckDB derives them from the percent_rank CONTRACT alone — n from the
+    assignment table, then #(i in 0..n-1: i/(n-1) >= 1-test_frac) — so a
+    hash match certifies the split produces EXACTLY the sizes the
+    percent-rank rule implies (the property the reference's shuffle=True
+    head/tail guarantees; the RNG itself stays engine-specific, pinned
+    reproducible-under-fixed-partitioning in pytest). test_frac=0.5: both
+    engines evaluate 1-frac and the rank division in exact IEEE doubles
+    (DuckDB's decimal literal arithmetic would diverge from Python's
+    binary 1-0.3 at other fractions). The global sort inside the
+    permutation method is bounded by construction here (fixed 2000-line
+    synth corpus) — the library docstring routes scale callers to the
+    hash-bucket method."""
     from sparklead import synth
     from sparklead.detectors.ad import AnomalyDetector, SeqFeaturizer, train_test_split
     from sparklead.enhancers import eventlog as E
@@ -1318,6 +1374,10 @@ def _q_ad_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
             [([float(w) for w in det.model.coefficients], float(det.model.intercept))],
             "coef array<double>, intercept double",
         ).write.mode("overwrite").parquet(os.path.join(AD_PRED_OUTPUT, "model"))
+        ptr, pte = train_test_split(seq, 0.5, shuffle=True, method="permutation")
+        ptr.select("seq_id", F.lit(0).alias("perm_test")).unionByName(
+            pte.select("seq_id", F.lit(1).alias("perm_test"))
+        ).write.mode("overwrite").parquet(os.path.join(AD_PRED_OUTPUT, "perm"))
         _ad_pred_written = True
     pred = spark.read.parquet(os.path.join(AD_PRED_OUTPUT, "features")).select(
         "seq_id", "pred_ano"
@@ -1325,7 +1385,11 @@ def _q_ad_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = pred.agg(
         F.count(F.lit(1)).alias("n_test"), F.sum("pred_ano").alias("n_pred_ano")
     )
-    return pred.crossJoin(broadcast(stats))
+    perm_stats = spark.read.parquet(os.path.join(AD_PRED_OUTPUT, "perm")).agg(
+        F.sum(1 - F.col("perm_test")).cast("long").alias("n_perm_train"),
+        F.sum("perm_test").cast("long").alias("n_perm_test"),
+    )
+    return pred.crossJoin(broadcast(stats)).crossJoin(broadcast(perm_stats))
 
 
 STREAM_ROUTE_DIR = "/tmp/sparklead_stream_route"
@@ -1623,9 +1687,27 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
         """,
-        "semi_join_filter": """
-            SELECT event_type, count(*) AS n FROM events
+        # semi_join_filter (round-6 fourth wave): the 'mod10' variant stays
+        # fully recomputed; the 'seeded_sample' variant replays the
+        # materialized kept-id bytes (RNG stays engine-specific) and its
+        # n_kept_seqs counts DISTINCT materialized ids that EXIST among the
+        # source's seq ids — vs the Spark side's plain row count — so a
+        # rogue or duplicated sample row breaks the hash (subset cert).
+        "semi_join_filter": f"""
+            SELECT 'mod10' AS variant, event_type, count(*) AS n,
+                   (SELECT count(DISTINCT user_id) FROM events
+                    WHERE user_id % 10 = 0)::bigint AS n_kept_seqs
+            FROM events
             WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0)
+            GROUP BY event_type
+            UNION ALL
+            SELECT 'seeded_sample' AS variant, event_type, count(*) AS n,
+                   (SELECT count(DISTINCT k.user_id)
+                    FROM read_parquet('{SAMPLE_OUTPUT}/*.parquet') k
+                    JOIN (SELECT DISTINCT user_id FROM events) u USING (user_id)
+                   )::bigint AS n_kept_seqs
+            FROM events
+            WHERE user_id IN (SELECT user_id FROM read_parquet('{SAMPLE_OUTPUT}/*.parquet'))
             GROUP BY event_type
         """,
         "aggregate_back_join": """
@@ -2360,9 +2442,35 @@ def oracle_sql() -> dict[str, str]:
               SELECT count(*)::bigint AS n_test,
                      sum(pred_ano)::bigint AS n_pred_ano
               FROM pred
+            ),
+            -- permutation-split contract (round-6 fourth wave, SURVEY §2
+            -- #55): the Spark side RECOUNTS the materialized sides; this
+            -- side derives the sizes from the percent_rank rule alone —
+            -- #(i in 0..n-1: i/(n-1) >= 1-test_frac) goes to test, the
+            -- single-row frame (n=1, pr=0.0) to train. A hash match
+            -- certifies the split realizes exactly the rule's sizes.
+            pn AS (
+              SELECT count(*)::bigint AS n
+              FROM read_parquet('{AD_PRED_OUTPUT}/perm/*.parquet')
+            ), pf AS (
+              -- ranks 1..n synthesized from the assignment table itself
+              -- (range() can't take subquery bounds); the comparison is the
+              -- exact IEEE division Spark's percent_rank evaluates
+              SELECT coalesce(sum(
+                       (pn.n > 1 AND (r.rn - 1)::double / (pn.n - 1) >= 0.5)::int
+                     ), 0)::bigint AS n_perm_test
+              FROM (
+                SELECT row_number() OVER () AS rn
+                FROM read_parquet('{AD_PRED_OUTPUT}/perm/*.parquet')
+              ) r, pn
+            ), pstat AS (
+              SELECT (pn.n - pf.n_perm_test)::bigint AS n_perm_train,
+                     pf.n_perm_test
+              FROM pn, pf
             )
-            SELECT p.seq_id, p.pred_ano, s.n_test, s.n_pred_ano
-            FROM pred p, stats s
+            SELECT p.seq_id, p.pred_ano, s.n_test, s.n_pred_ano,
+                   ps.n_perm_train, ps.n_perm_test
+            FROM pred p, stats s, pstat ps
         """,
         # streaming_route (round-6): materialized-input replay. DuckDB
         # recomputes the per-(source, label, region) rollups straight from

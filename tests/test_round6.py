@@ -374,3 +374,53 @@ def test_parser_templates_oracle_parity(spark):
     # all seven miners present, each with a consistent per-miner fingerprint
     assert set(pdf["miner"]) == {"drain", "iplom", "pl_iplom", "ael", "brain", "spell", "lenma"}
     assert pdf.groupby("miner")["miner_fp"].nunique().eq(1).all()
+
+
+# ------------------- round-6 fourth wave: sampling + permutation-split oracles
+
+def _duck_parity(spark, entry_name, sf="/root/testdata/sf0.001"):
+    """Run a gate entry and its DuckDB oracle in-process and compare
+    (rows, columns, value hash) — the crosscheck kernel at pytest scale."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import crosscheck as cc
+
+    import __spark_entry__ as entrymod
+
+    pdf = entrymod.queries()[entry_name](spark, sf).toPandas()
+    con = duckdb.connect()
+    for t in ("events",):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    odf = con.execute(entrymod.oracle_sql()[entry_name]).fetch_df()
+    assert len(pdf) == len(odf), (entry_name, len(pdf), len(odf))
+    assert sorted(pdf.columns) == sorted(odf.columns)
+    assert cc.value_hash(pdf) == cc.value_hash(odf), entry_name
+    return pdf
+
+
+def test_semi_join_filter_sampled_variant_oracle(spark):
+    """SURVEY §2 #54 graduation: the seeded-sample variant's semi-join
+    reduction replays value-for-value from the materialized kept-id bytes,
+    and n_kept_seqs certifies every sampled id is a real, non-duplicated
+    seq id (DuckDB counts distinct-ids-that-exist; Spark counts rows)."""
+    pdf = _duck_parity(spark, "semi_join_filter")
+    assert set(pdf["variant"]) == {"mod10", "seeded_sample"}
+    samp = pdf[pdf["variant"] == "seeded_sample"]
+    assert samp["n_kept_seqs"].nunique() == 1 and int(samp["n_kept_seqs"].iloc[0]) > 0
+
+
+def test_ad_predictions_permutation_split_oracle(spark):
+    """SURVEY §2 #55 graduation: n_perm_train/n_perm_test recount the
+    materialized permutation assignment on the Spark side while DuckDB
+    derives them from the percent_rank contract alone — the hash pins
+    exact-fraction sizes (the reference's shuffle=True head/tail property,
+    anomaly_detection.py:197)."""
+    pdf = _duck_parity(spark, "ad_predictions")
+    n = int(pdf["n_perm_train"].iloc[0] + pdf["n_perm_test"].iloc[0])
+    # the percent_rank >= 0.5 rule on ranks 1..n, recomputed in Python
+    expect_test = sum(1 for r in range(1, n + 1) if n > 1 and (r - 1) / (n - 1) >= 0.5)
+    assert int(pdf["n_perm_test"].iloc[0]) == expect_test

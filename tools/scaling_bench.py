@@ -153,9 +153,12 @@ def main() -> None:
         "|---|---|",
         *[f"| {p} | {hw_curve[p]}× |" for p in sorted(hw_curve)],
         "",
-        f"Hardware's own 8→32 efficiency: **{hw_eff_8_32:.2f}** — a 0.8 target",
-        "between 8 and 32 threads is unreachable on this box by construction,",
-        "so the N→4N demonstration uses the hardware-linear region (2→8),",
+        f"Hardware's own 8→32 efficiency THIS RUN: **{hw_eff_8_32:.2f}** —",
+        "hypervisor-dependent and unstable across sessions (measured 0.60 at",
+        "round-5 recording, 0.84 at round-6: the md5 calibration is at the",
+        "scheduler's mercy above ~8 threads), so no software target can be",
+        "reliably evidenced between 8 and 32 threads on this box. The N→4N",
+        "demonstration therefore uses the hardware-linear region (2→8),",
         "exactly as the rule's \"N and 4N cores\" allows.",
         "",
         "## Pipeline N→4N (same job, same materialized input, separate JVMs)",
