@@ -556,28 +556,41 @@ def neardup_components(
     # the LOGICAL plan each iteration — by iteration ~14 the 2^n-node plan
     # string OOMs the driver before any executor works. With one reference
     # the plan grows linearly in rounds, which max_iter bounds.
-    edges_self = edges.unionByName(
-        verts.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    # the self-edge carries a marker so each round's aggregate can deliver
+    # BOTH the new label (min over N(v) ∪ {v}) and the vertex's OLD label
+    # (the component value arriving on its own self-edge row) — the
+    # convergence check then filters the SAME persisted frame instead of
+    # paying a second labels join per round (round-6: at the 20k bench size
+    # the change is inside VM noise — the point is the SCALE shape: each
+    # round is exactly one edge-sized join + one cached-frame count, where
+    # the old loop paid an additional vertex-sized join per round)
+    edges_self = edges.withColumn("_self", F.lit(False)).unionByName(
+        verts.select(
+            F.col("id").alias("src"), F.col("id").alias("dst"), F.lit(True).alias("_self")
+        )
     ).persist()
     labels = verts.withColumn("component", F.col("id")).persist()
     labels.count()
     changed = 0
+    prev_cached = labels
     for _ in range(max_iter):
         # neighbor∪self minimum: propagate each vertex's label across edges
         new_labels = (
             edges_self.join(labels, edges_self.src == labels.id)
-            .select(F.col("dst").alias("id"), "component")
+            .select(F.col("dst").alias("id"), "component", "_self")
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_self"), F.col("component"))).alias("_old"),
+            )
             .persist()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "_old"), "id")
-            .filter(F.col("component") != F.col("_old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        # this count materializes new_labels into the cache AND measures
+        # convergence in the same job — no join against the old labels
+        changed = new_labels.filter(F.col("component") != F.col("_old")).count()
+        prev_cached.unpersist()
+        prev_cached = new_labels
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     if changed > 0:
@@ -588,10 +601,12 @@ def neardup_components(
         # still move.
         probe_changed = (
             edges_self.join(labels, edges_self.src == labels.id)
-            .select(F.col("dst").alias("id"), "component")
+            .select(F.col("dst").alias("id"), "component", "_self")
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .join(labels.withColumnRenamed("component", "_old"), "id")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_self"), F.col("component"))).alias("_old"),
+            )
             .filter(F.col("component") != F.col("_old"))
             .count()
         )
@@ -605,7 +620,15 @@ def neardup_components(
                 stacklevel=2,
             )
     edges_self.unpersist()
-    return labels
+    # the loop's labels view projects the persisted (id, component, _old)
+    # frame, so the caller's documented ``.unpersist()`` would not free the
+    # underlying cache — hand back a clean persisted (id, component) copy
+    # (one vertex-sized cached-read job) and release the loop's own cache
+    final = labels.persist()
+    final.count()
+    if prev_cached is not final:
+        prev_cached.unpersist()
+    return final
 
 
 def dedup_by_components(
