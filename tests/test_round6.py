@@ -424,3 +424,21 @@ def test_ad_predictions_permutation_split_oracle(spark):
     # the percent_rank >= 0.5 rule on ranks 1..n, recomputed in Python
     expect_test = sum(1 for r in range(1, n + 1) if n > 1 and (r - 1) / (n - 1) >= 0.5)
     assert int(pdf["n_perm_test"].iloc[0]) == expect_test
+
+
+def test_neardup_components_unpersist_frees_cache(spark):
+    """Round-6 loop fusion: the propagation loop now persists an
+    (id, component, _old) frame internally and hands back a CLEAN persisted
+    (id, component) copy — the caller's documented ``.unpersist()`` must
+    free every cache the call created (the round-4 no-cache-outlives-a-
+    public-call rule, extended to the new internal frame)."""
+    from sparklead.dedup import neardup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a_id long, b_id long"
+    )
+    comps = neardup_components(pairs, "a_id", "b_id")
+    got = {(r["id"], r["component"]) for r in comps.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    comps.unpersist()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
