@@ -76,6 +76,58 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     return df.select("media_id", "kind", "payload").mapInPandas(extract, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id string, out_width int, out_height int, scale_x double, scale_y double, pixels array<float>"
+)
+
+
+def _resize_stub(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """STUB — deterministic fake 'resize': nearest-neighbor index mapping
+    over the fake decoded vector, which is exactly what a real
+    nearest-neighbor resize does per axis. Production: PIL's
+    ``Image.resize((out_w, out_h))`` on the real decoded image; the Arrow
+    batch shape and output schema do not change."""
+    n = max(1, min(len(pixels), out_w))
+    idx = (np.arange(n) * len(pixels) // n).clip(0, len(pixels) - 1)
+    return pixels[idx]
+
+
+def resize_media(df: DataFrame, out_w: int = 224, out_h: int = 224, batch_size_hint: int = 256) -> DataFrame:
+    """mapInPandas resize lane over image rows (Arrow-batched) — the
+    standard vision-pipeline preprocess step (decode -> resize to the model
+    input size). Same iterator-of-batches shape as ``extract_features``:
+    codec/model init once per task, payloads never on the driver, typed
+    output columns. The decode+resize KERNELS are declared stubs (no
+    codecs in this container — see module docstring); the per-row scale
+    factors are computed JVM-side from the metadata columns, so the plan
+    keeps the Python lane to the payload bytes only."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _resize_stub(_decode_image_stub(p), out_w, out_h).tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": np.int32(out_w),
+                    "out_height": np.int32(out_h),
+                    "scale_x": pdf["scale_x"],
+                    "scale_y": pdf["scale_y"],
+                    "pixels": out,
+                }
+            )
+
+    imgs = df.filter(F.col("kind") == "image").select(
+        "media_id",
+        "payload",
+        (F.lit(out_w) / F.col("width")).alias("scale_x"),
+        (F.lit(out_h) / F.col("height")).alias("scale_y"),
+    )
+    return imgs.mapInPandas(resize, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one row per planned frame timestamp.
 

@@ -442,3 +442,30 @@ def test_neardup_components_unpersist_frees_cache(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     comps.unpersist()
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_resize_media_lane(spark):
+    """Round-6: the multimodal surface's missing RESIZE lane (decode ->
+    resize-to-model-input is the standard vision preprocess). Kernel is a
+    declared stub (no codecs in container); what this pins is the real
+    Spark plumbing: image-only filter, JVM-side scale factors from the
+    metadata columns, Arrow batch shape, typed output schema, and
+    determinism of the stub."""
+    from sparklead.multimodal import resize_media, synth_media
+
+    media = synth_media(spark, 60)
+    out = resize_media(media, out_w=224, out_h=224)
+    rows = {r["media_id"]: r for r in out.collect()}
+    kinds = {r["media_id"]: r for r in media.collect()}
+    # image rows only, all of them
+    assert set(rows) == {k for k, r in kinds.items() if r["kind"] == "image"}
+    for mid, r in rows.items():
+        src = kinds[mid]
+        assert r["out_width"] == 224 and r["out_height"] == 224
+        assert abs(r["scale_x"] - 224 / src["width"]) < 1e-12
+        assert abs(r["scale_y"] - 224 / src["height"]) < 1e-12
+        assert 1 <= len(r["pixels"]) <= 224
+        assert all(0.0 <= p <= 1.0 for p in r["pixels"])
+    # deterministic across runs and partitionings
+    again = {r["media_id"]: r["pixels"] for r in resize_media(media.repartition(7), 224, 224).collect()}
+    assert {m: r["pixels"] for m, r in rows.items()} == again
