@@ -1159,6 +1159,30 @@ NEARDUP_BENCH_INPUT = "/tmp/sparklead_neardup_bench_input"
 _neardup_bench_written = False
 
 
+def _write_neardup_bench_input(spark: SparkSession) -> None:
+    global _neardup_bench_written
+    if not _neardup_bench_written:
+        from sparklead.synth import seeded_dup_docs
+
+        seeded_dup_docs(spark, 20_000, partitions=32).write.mode("overwrite").parquet(
+            NEARDUP_BENCH_INPUT
+        )
+        _neardup_bench_written = True
+
+
+def prepare_bench_inputs(spark: SparkSession) -> None:
+    """Fire the one-time bench-input writers OUTSIDE any timed window.
+
+    The bench-only entries materialize their corpus to /tmp parquet on first
+    call (so the timed window measures the operator, not generation) — but
+    that first write used to execute eagerly inside bench.py's repeat #1,
+    polluting one of the three medians' samples (round-6 review fix).
+    bench.py calls this once before the timing loop; gate/crosscheck runs
+    don't need it (the lazy guards still fire on demand)."""
+    _write_neardup_bench_input(spark)
+    _write_drain_bench_input(spark)
+
+
 def _q_neardup_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end one-call text near-dedup (bench-only, not gated — every
     composed stage is already gate-verified; round-6 judge item #4 puts the
@@ -1174,20 +1198,22 @@ def _q_neardup_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clearCache() after timing (the documented ownership contract)."""
     from sparklead.dedup import neardup_text_dedup
 
-    global _neardup_bench_written
-    if not _neardup_bench_written:
-        from sparklead.synth import seeded_dup_docs
-
-        seeded_dup_docs(spark, 20_000, partitions=32).write.mode("overwrite").parquet(
-            NEARDUP_BENCH_INPUT
-        )
-        _neardup_bench_written = True
+    _write_neardup_bench_input(spark)
     docs = spark.read.parquet(NEARDUP_BENCH_INPUT)
     return neardup_text_dedup(docs, threshold=0.7)
 
 
 DRAIN_BENCH_INPUT = "/tmp/sparklead_drain_bench_input"
 _drain_bench_written = False
+
+
+def _write_drain_bench_input(spark: SparkSession) -> None:
+    global _drain_bench_written
+    if not _drain_bench_written:
+        _mined_corpus(spark, 4000).select("e_words").write.mode("overwrite").parquet(
+            DRAIN_BENCH_INPUT
+        )
+        _drain_bench_written = True
 
 
 def _q_drain_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1201,12 +1227,7 @@ def _q_drain_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     what this bench line tracks round-over-round)."""
     from sparklead.mining.drain import DrainMiner
 
-    global _drain_bench_written
-    if not _drain_bench_written:
-        _mined_corpus(spark, 4000).select("e_words").write.mode("overwrite").parquet(
-            DRAIN_BENCH_INPUT
-        )
-        _drain_bench_written = True
+    _write_drain_bench_input(spark)
     df = spark.read.parquet(DRAIN_BENCH_INPUT)
     miner = DrainMiner().fit(df, "e_words")
     return miner.templates_df(spark).select("template_id", "template", "count")

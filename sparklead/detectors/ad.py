@@ -97,8 +97,18 @@ def train_test_split(
             # dropped every u>=frac row from BOTH sides (null negated is
             # still null) — the exact empty-train failure this branch exists
             # to prevent. Null-aware gt: a row counts as "after the cutoff"
-            # only when its time is non-null AND strictly greater; null
-            # times join the tied mass and are hash-split.
+            # only when its time is non-null AND strictly greater.
+            # NULL PLACEMENT (round-6 review fix): the normal branch sends
+            # null times to TRAIN (nulls sort first in the reference's
+            # chronological order — polars/pandas head-tail), but this branch
+            # hash-split them alongside the tied mass, so a partially-null
+            # coarse-timestamp input leaked null rows into test. Now the
+            # test side fills in chronological priority: gt rows first, then
+            # non-null tied rows, and nulls spill in ONLY when even every
+            # non-null row cannot reach the test fraction (n_null >
+            # (1-test_frac)*n) — exactly the reference's positional split of
+            # a nulls-first ordering. All-null inputs therefore still
+            # hash-split at ~test_frac (both sides non-empty).
             if stats["lo"] is None:
                 gt = F.lit(False)
             else:
@@ -106,15 +116,24 @@ def train_test_split(
             counts = df_seq.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(F.sum(gt.cast("long")), F.lit(0)).alias("n_gt"),
+                F.coalesce(
+                    F.sum(F.col(time_col).isNull().cast("long")), F.lit(0)
+                ).alias("n_null"),
             ).first()
-            n_ties = counts["n"] - counts["n_gt"]
+            n_tied = counts["n"] - counts["n_gt"] - counts["n_null"]
             want = test_frac * counts["n"] - counts["n_gt"]
-            frac = min(max(want / max(n_ties, 1), 0.0), 1.0)
+            frac_tied = min(max(want / max(n_tied, 1), 0.0), 1.0)
+            frac_null = min(max((want - n_tied) / max(counts["n_null"], 1), 0.0), 1.0)
             u = (
                 F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.lit(1_000_000))
                 / 1_000_000.0
             )
-            is_test = gt | (u < F.lit(frac))
+            tied_nonnull = F.col(time_col).isNotNull() & ~gt
+            is_test = (
+                gt
+                | (tied_nonnull & (u < F.lit(frac_tied)))
+                | (F.col(time_col).isNull() & (u < F.lit(frac_null)))
+            )
             train = df_seq.filter(~is_test)
             test = df_seq.filter(is_test)
         else:

@@ -87,6 +87,11 @@ def _resize_stub(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     nearest-neighbor resize does per axis. Production: PIL's
     ``Image.resize((out_w, out_h))`` on the real decoded image; the Arrow
     batch shape and output schema do not change."""
+    if len(pixels) == 0:
+        # zero-byte payload decodes to nothing; resize of nothing is nothing
+        # (clip(0, -1) below would index -1 into an empty array and kill the
+        # task — round-6 review fix, pinned in test_resize_media_lane)
+        return pixels
     n = max(1, min(len(pixels), out_w))
     idx = (np.arange(n) * len(pixels) // n).clip(0, len(pixels) - 1)
     return pixels[idx]
@@ -119,11 +124,17 @@ def resize_media(df: DataFrame, out_w: int = 224, out_h: int = 224, batch_size_h
                 }
             )
 
+    # zero/null dimensions (corrupt headers) must yield a NULL scale, not an
+    # ANSI DIVIDE_BY_ZERO that fails the whole preprocess job (round-6
+    # review fix)
+    def scale(out: int, dim: str):
+        return F.when(F.col(dim) > 0, F.lit(out) / F.col(dim))
+
     imgs = df.filter(F.col("kind") == "image").select(
         "media_id",
         "payload",
-        (F.lit(out_w) / F.col("width")).alias("scale_x"),
-        (F.lit(out_h) / F.col("height")).alias("scale_y"),
+        scale(out_w, "width").alias("scale_x"),
+        scale(out_h, "height").alias("scale_y"),
     )
     return imgs.mapInPandas(resize, RESIZE_SCHEMA)
 

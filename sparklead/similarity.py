@@ -256,15 +256,32 @@ def _auto_fit_fraction(corpus: DataFrame, fit_sample: int) -> float | None:
     regardless of size. Returns None (caller falls back to the documented
     static default) when the lineage is not local parquet files — e.g.
     in-memory frames, non-parquet sources, or object-store URIs the driver
-    can't stat; filters stacked on the scan make ``rows`` an over-count,
-    which only shrinks the draw (still uniform), never biases it."""
+    can't stat — or when the logical plan has MORE THAN ONE leaf relation
+    (a join/union's ``inputFiles()`` pulls in every source's files, so
+    ``total`` would count rows the corpus does not have; round-6 review
+    fix — the leaf count distinguishes that precisely, and a single
+    multi-path scan keeps one leaf with a CORRECT total). Filters stacked
+    on one scan still make ``rows`` an over-count, which only SHRINKS the
+    draw (still uniform — worst case it under-fills fit_sample and the
+    n_centroids guard warns), never biases it. Footer reads are
+    driver-side and sequential, so lineages above _MAX_FOOTER_FILES also
+    fall back rather than stalling plan construction."""
     from urllib.parse import urlparse
 
+    try:
+        if corpus._jdf.queryExecution().analyzed().collectLeaves().size() != 1:
+            return None
+    except Exception:
+        return None
+
+    _MAX_FOOTER_FILES = 4096
     try:
         files = corpus.inputFiles()
     except Exception:
         return None
-    if not files or not all(f.lower().endswith(".parquet") for f in files):
+    if not files or len(files) > _MAX_FOOTER_FILES:
+        return None
+    if not all(f.lower().endswith(".parquet") for f in files):
         return None
     import pyarrow.parquet as pq
 

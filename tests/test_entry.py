@@ -35,6 +35,16 @@ def test_queries_run_at_sf0001(spark, sf_dir):
     # aggs broadcast-cross-joined back. A literal partition key prints in
     # the optimized plan as a bare value (no #exprId); real partition
     # columns always carry one, as do order-only specs over bounded frames.
+    # Order-only windows (no partition keys — the first windowspecdefinition
+    # arg is a SORT spec, so it prints with a direction) are ALSO single-task:
+    # a global sort funnel. Allowed only where the window input is a provably
+    # BOUNDED aggregate frame, independent of data size (round-6 review fix —
+    # the literal-key check alone missed Window.orderBy(...) specs):
+    #   item_cumsum    — two-phase prefix sum: window over ONE ROW PER INPUT
+    #                    PARTITION (the per-partition subtotal agg)
+    #   auc_threshold  — ROC/threshold sweep over the quantized score
+    #                    histogram, <= 2e6+1 bins for ANY score distribution
+    order_only_bounded = {"item_cumsum", "auc_threshold"}
     win_re = re.compile(r"windowspecdefinition\(([^,)]+)")
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
@@ -44,4 +54,10 @@ def test_queries_run_at_sf0001(spark, sf_dir):
                 f"{name}: literal-partitioned (single-task) window in gated plan: "
                 f"{m.group(0)}"
             )
+            if " ASC" in m.group(1) or " DESC" in m.group(1):
+                assert name in order_only_bounded, (
+                    f"{name}: order-only (single-task global-sort) window in "
+                    f"gated plan over a frame not in the documented bounded "
+                    f"set: {m.group(0)}"
+                )
         assert df.limit(1).count() >= 0, name

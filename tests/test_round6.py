@@ -47,6 +47,43 @@ def test_chronological_split_partial_null_time(spark):
     assert tr.filter(F.col("start_time").isNull()).count() == n // 10
 
 
+def test_chronological_split_degenerate_null_placement(spark):
+    """Round-6 review: the degenerate-tie branch hash-split null times
+    alongside the tied mass while the normal branch trains them — a
+    partially-null COARSE-timestamp input leaked nulls into test. Nulls now
+    fill test only after every non-null row (reference nulls-first
+    positional split)."""
+    from sparklead.detectors.ad import train_test_split
+
+    n = 2000
+    # 10% nulls + 90% one tied timestamp: degenerate branch fires (cutoff ==
+    # lo); non-null ties easily cover the 30% test fraction -> NO nulls in test
+    df = spark.range(n).select(
+        F.col("id").alias("seq_id"),
+        F.when(F.pmod("id", F.lit(10)) == 0, F.lit(None)).otherwise(F.lit(5)).alias(
+            "start_time"
+        ),
+    )
+    tr, te = train_test_split(df, test_frac=0.3, shuffle=False, time_col="start_time")
+    assert tr.count() + te.count() == n
+    assert te.filter(F.col("start_time").isNull()).count() == 0
+    assert abs(te.count() - 0.3 * n) < 0.05 * n
+    # 70% nulls, 50% test fraction: non-null rows can't fill test alone ->
+    # ALL of them go to test and nulls spill in for the remainder
+    df2 = spark.range(n).select(
+        F.col("id").alias("seq_id"),
+        F.when(F.pmod("id", F.lit(10)) < 7, F.lit(None)).otherwise(F.lit(5)).alias(
+            "start_time"
+        ),
+    )
+    tr2, te2 = train_test_split(df2, test_frac=0.5, shuffle=False, time_col="start_time")
+    assert tr2.count() + te2.count() == n
+    assert tr2.filter(F.col("start_time").isNotNull()).count() == 0
+    assert abs(te2.count() - 0.5 * n) < 0.05 * n
+    # the spilled-null fraction is the exact shortfall, not test_frac
+    assert te2.filter(F.col("start_time").isNull()).count() < 0.35 * n
+
+
 # ------------------------------------------------- simhash null tokens
 
 def test_simhash_lanes_identical_with_null_tokens(spark):
@@ -322,6 +359,12 @@ def test_ivf_auto_fit_fraction_closes_deep_prefix(spark, tmp_path):
     # non-parquet lineage -> None (caller falls back to the static default)
     mem = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>")
     assert _auto_fit_fraction(mem, fit_sample) is None
+    # multi-leaf lineage (join/union) -> None: inputFiles() pools EVERY
+    # source's files, so the footer total would over-count the corpus and
+    # silently shrink the draw (round-6 review fix — leaf count is exact
+    # where a dirname heuristic would miss two tables in one directory)
+    assert _auto_fit_fraction(corpus.join(corpus.select("vec_id"), "vec_id"), fit_sample) is None
+    assert _auto_fit_fraction(corpus.union(corpus), fit_sample) is None
 
     vecs = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -469,3 +512,12 @@ def test_resize_media_lane(spark):
     # deterministic across runs and partitionings
     again = {r["media_id"]: r["pixels"] for r in resize_media(media.repartition(7), 224, 224).collect()}
     assert {m: r["pixels"] for m, r in rows.items()} == again
+    # review edges: zero-byte payload must yield empty pixels (not an
+    # IndexError task kill); width/height 0 must yield NULL scales (not an
+    # ANSI DIVIDE_BY_ZERO job failure)
+    bad = spark.createDataFrame(
+        [("m0", "image", b"", "application/octet-stream", 0, 0, 0)],
+        "media_id string, kind string, payload binary, mime string, width int, height int, duration_ms int",
+    )
+    r0 = resize_media(bad, 224, 224).collect()[0]
+    assert r0["pixels"] == [] and r0["scale_x"] is None and r0["scale_y"] is None
