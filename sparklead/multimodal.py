@@ -63,12 +63,21 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_image_stub(p).tolist() for p in pdf["payload"]]
+            # NULL payloads (corrupt ingest) propagate as NULL n_bytes/feature
+            # — SQL octet_length semantics; without the guard Arrow hands the
+            # null cell to Python as None and len(None)/None[:16] kills the
+            # task (round-6 review fix, pinned in test_multimodal_null_payload)
+            feats = [
+                None if p is None else _decode_image_stub(p).tolist()
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "n_bytes": pdf["payload"]
+                    .map(lambda p: None if p is None else len(p))
+                    .astype("Int32"),
                     "feature": feats,
                 }
             )
@@ -109,8 +118,11 @@ def resize_media(df: DataFrame, out_w: int = 224, out_h: int = 224, batch_size_h
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payload -> NULL pixels (same guard as extract_features)
             out = [
-                _resize_stub(_decode_image_stub(p), out_w, out_h).tolist()
+                None
+                if p is None
+                else _resize_stub(_decode_image_stub(p), out_w, out_h).tolist()
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(

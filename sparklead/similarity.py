@@ -260,16 +260,35 @@ def _auto_fit_fraction(corpus: DataFrame, fit_sample: int) -> float | None:
     (a join/union's ``inputFiles()`` pulls in every source's files, so
     ``total`` would count rows the corpus does not have; round-6 review
     fix — the leaf count distinguishes that precisely, and a single
-    multi-path scan keeps one leaf with a CORRECT total). Filters stacked
-    on one scan still make ``rows`` an over-count, which only SHRINKS the
-    draw (still uniform — worst case it under-fills fit_sample and the
-    n_centroids guard warns), never biases it. Footer reads are
-    driver-side and sequential, so lineages above _MAX_FOOTER_FILES also
-    fall back rather than stalling plan construction."""
+    multi-path scan keeps one leaf with a CORRECT total) — or when the
+    plan contains a ROW-MULTIPLYING node above the scan (Generate/explode,
+    Expand, the pandas/Arrow flat-map families): those make the footer
+    total an UNDER-count, fraction too large, and ``limit(fit_sample)``
+    would then prefix-truncate the oversized draw — silently reintroducing
+    the deep-prefix bias this function exists to remove (second round-6
+    review fix; a false positive here only falls back to the static
+    default). Filters stacked on one scan still make ``rows`` an
+    over-count, which only SHRINKS the draw (still uniform — worst case it
+    under-fills fit_sample and the n_centroids guard warns), never biases
+    it. Footer reads are driver-side and sequential, so lineages above
+    _MAX_FOOTER_FILES also fall back rather than stalling plan
+    construction."""
     from urllib.parse import urlparse
 
+    _ROW_MULTIPLIERS = (
+        "Generate ",  # explode/posexplode/inline/stack
+        "Expand ",  # cube/rollup/grouping sets
+        "MapInPandas",
+        "MapInArrow",
+        "FlatMap",  # FlatMapGroupsInPandas / FlatMapCoGroupsInPandas / ...
+        "MapGroups",
+        "CoGroup",
+    )
     try:
-        if corpus._jdf.queryExecution().analyzed().collectLeaves().size() != 1:
+        analyzed = corpus._jdf.queryExecution().analyzed()
+        if analyzed.collectLeaves().size() != 1:
+            return None
+        if any(tok in analyzed.toString() for tok in _ROW_MULTIPLIERS):
             return None
     except Exception:
         return None

@@ -1,8 +1,34 @@
 """Driver-contract smoke: entry() runs, queries()/oracle_sql() keys align."""
 
-import re
-
 import __spark_entry__ as entrymod
+
+
+def _win_first_args(plan: str) -> list[str]:
+    """The FULL first argument of every windowspecdefinition(...) in a plan
+    string, extracted with a parenthesis counter: the earlier ``[^,)]+``
+    regex stopped at the first ')' INSIDE nested sort expressions like
+    ``cast(x#12 as bigint) ASC NULLS FIRST``, so their ' ASC' marker never
+    reached the order-only check (round-6 review fix)."""
+    out, start, needle = [], 0, "windowspecdefinition("
+    while True:
+        i = plan.find(needle, start)
+        if i < 0:
+            return out
+        k = i + len(needle)
+        depth = 0
+        while k < len(plan):
+            c = plan[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            k += 1
+        out.append(plan[i + len(needle) : k])
+        start = k
 
 
 def test_entry_returns_rows(spark):
@@ -45,19 +71,18 @@ def test_queries_run_at_sf0001(spark, sf_dir):
     #   auc_threshold  — ROC/threshold sweep over the quantized score
     #                    histogram, <= 2e6+1 bins for ANY score distribution
     order_only_bounded = {"item_cumsum", "auc_threshold"}
-    win_re = re.compile(r"windowspecdefinition\(([^,)]+)")
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
-        for m in win_re.finditer(plan):
-            assert "#" in m.group(1), (
+        for arg in _win_first_args(plan):
+            assert "#" in arg, (
                 f"{name}: literal-partitioned (single-task) window in gated plan: "
-                f"{m.group(0)}"
+                f"windowspecdefinition({arg}"
             )
-            if " ASC" in m.group(1) or " DESC" in m.group(1):
+            if " ASC" in arg or " DESC" in arg:
                 assert name in order_only_bounded, (
                     f"{name}: order-only (single-task global-sort) window in "
                     f"gated plan over a frame not in the documented bounded "
-                    f"set: {m.group(0)}"
+                    f"set: windowspecdefinition({arg}"
                 )
         assert df.limit(1).count() >= 0, name

@@ -521,3 +521,67 @@ def test_resize_media_lane(spark):
     )
     r0 = resize_media(bad, 224, 224).collect()[0]
     assert r0["pixels"] == [] and r0["scale_x"] is None and r0["scale_y"] is None
+
+
+def test_multimodal_null_payload(spark):
+    """Second round-6 review pass: a NULL payload cell (corrupt ingest —
+    the exact class the zero-byte/zero-dim guards defend against) reached
+    the Python lane as None, so len(None) / None[:16] raised TypeError
+    inside the mapInPandas task and failed the whole preprocess job. NULLs
+    now propagate: NULL n_bytes/feature/pixels (SQL octet_length
+    semantics), non-null rows in the same batch unaffected."""
+    from sparklead.multimodal import extract_features, resize_media
+
+    media = spark.createDataFrame(
+        [
+            ("m0", "image", None, "image/png", 4, 4, 0),
+            ("m1", "image", b"\x01\x02\x03\x04", "image/png", 4, 4, 0),
+        ],
+        "media_id string, kind string, payload binary, mime string, width int, height int, duration_ms int",
+    )
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats["m0"]["n_bytes"] is None and feats["m0"]["feature"] is None
+    assert feats["m1"]["n_bytes"] == 4 and len(feats["m1"]["feature"]) == 4
+    pix = {r["media_id"]: r for r in resize_media(media, 224, 224).collect()}
+    assert pix["m0"]["pixels"] is None
+    assert len(pix["m1"]["pixels"]) == 4
+
+
+def test_auto_fit_fraction_rejects_row_multipliers(spark, tmp_path):
+    """Second round-6 review pass: a SINGLE-leaf plan with an explode above
+    the scan passes the leaf-count guard, but the footer total UNDER-counts
+    the exploded rows — fraction too large, limit(fit_sample) would
+    prefix-truncate the oversized draw and silently reintroduce the
+    deep-prefix bias. Row-multiplying nodes now fall back to the static
+    default."""
+    from sparklead.similarity import _auto_fit_fraction
+
+    path = str(tmp_path / "c")
+    spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    ).write.parquet(path)
+    corpus = spark.read.parquet(path)
+    assert _auto_fit_fraction(corpus, 10) == 0.1
+    exploded = corpus.select("vec_id", F.explode("embedding").alias("x"))
+    assert _auto_fit_fraction(exploded, 10) is None
+
+
+def test_win_first_args_paren_aware():
+    """Second round-6 review pass: the gate's [^,)]+ regex stopped at the
+    ')' inside nested sort expressions (cast(x#12 as bigint) ASC ...), so
+    their ' ASC' marker never reached the order-only check. The
+    paren-counting extractor returns the FULL first argument."""
+    from tests.test_entry import _win_first_args
+
+    plan = (
+        "Window [sum(v#3) windowspecdefinition(cast(x#12 as bigint) ASC NULLS "
+        "FIRST, specifiedwindowframe(RangeFrame, unboundedpreceding$(), "
+        "currentrow$())) AS s#9]\n"
+        "+- Window [row_number() windowspecdefinition(k#1, ts#2 ASC NULLS "
+        "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS r#10]"
+    )
+    args = _win_first_args(plan)
+    assert args == ["cast(x#12 as bigint) ASC NULLS FIRST", "k#1"]
+    assert (" ASC" in args[0]) and (" ASC" not in args[1])
