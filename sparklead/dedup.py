@@ -501,11 +501,19 @@ def with_simhash_md5(
 
 # ------------------------------------------------------------------ components
 
+# Truncate the iterative plan's lineage every N rounds (see
+# neardup_components docstring). 8 keeps typical near-dup graphs
+# (diameter 2-4) roundtrip-free while staying well under the measured
+# driver-OOM depth (~16 rounds at 8 g).
+_TRUNCATE_EVERY = 8
+
+
 def neardup_components(
     pairs: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 20,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate GROUPS: (id, component).
 
@@ -539,6 +547,24 @@ def neardup_components(
     several component labels is UNDER-dedup (safe direction: extra copies
     survive, nothing legitimate is dropped); raise ``max_iter`` to
     converge.
+
+    LINEAGE TRUNCATION (round-6, found by tools/components_ab.py): even
+    with the single-reference self-edge plan, DEEP loops grow driver-side
+    Catalyst state super-linearly — measured on a 10k-vertex chain
+    fixture: 12 rounds took 68 s (analysis-dominated) and 16 rounds
+    OOM'd the 8 g driver during plan handling, INSIDE the default
+    ``max_iter`` envelope and independent of data size (the pre-fusion
+    round-5 loop fails identically). Every ``_TRUNCATE_EVERY`` rounds the
+    vertex-sized label frame is therefore written to ``scratch_dir`` and
+    re-read, resetting the plan to a fresh scan — the standard iterative-
+    graph pattern (GraphFrames checkpoints the same way), done with a
+    parquet roundtrip instead of RDD checkpoints so the caller-owned
+    cache contract (getPersistentRDDs pins) and eviction-recompute safety
+    both hold. ``scratch_dir`` defaults to a per-call temp dir; ON A
+    CLUSTER pass a job-scratch URI (HDFS/S3) — the dir must outlive the
+    returned frame (an evicted cache partition recomputes from the last
+    roundtrip file). Graphs that converge within ``_TRUNCATE_EVERY``
+    rounds — every real near-dup graph — never pay the roundtrip.
     """
     import warnings
 
@@ -573,7 +599,9 @@ def neardup_components(
     labels.count()
     changed = 0
     prev_cached = labels
-    for _ in range(max_iter):
+    spark = pairs.sparkSession
+    scratch = scratch_dir
+    for i in range(max_iter):
         # neighbor∪self minimum: propagate each vertex's label across edges
         new_labels = (
             edges_self.join(labels, edges_self.src == labels.id)
@@ -588,11 +616,24 @@ def neardup_components(
         # this count materializes new_labels into the cache AND measures
         # convergence in the same job — no join against the old labels
         changed = new_labels.filter(F.col("component") != F.col("_old")).count()
-        prev_cached.unpersist()
+        if prev_cached is not None:
+            prev_cached.unpersist()
         prev_cached = new_labels
         labels = new_labels.select("id", "component")
         if changed == 0:
             break
+        if (i + 1) % _TRUNCATE_EVERY == 0:
+            # deep loop: reset the plan to a fresh scan (docstring —
+            # driver-side Catalyst state otherwise OOMs at ~16 rounds)
+            if scratch is None:
+                import tempfile
+
+                scratch = tempfile.mkdtemp(prefix="sparklead_components_")
+            path = f"{scratch.rstrip('/')}/round{i + 1}"
+            labels.write.mode("overwrite").parquet(path)
+            new_labels.unpersist()
+            prev_cached = None
+            labels = spark.read.parquet(path)
     if changed > 0:
         # the LAST allowed round changed labels — that alone doesn't prove
         # truncation (the final round may have been exactly the converging
@@ -626,7 +667,7 @@ def neardup_components(
     # (one vertex-sized cached-read job) and release the loop's own cache
     final = labels.persist()
     final.count()
-    if prev_cached is not final:
+    if prev_cached is not None and prev_cached is not final:
         prev_cached.unpersist()
     return final
 

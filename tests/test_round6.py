@@ -587,6 +587,38 @@ def test_win_first_args_paren_aware():
     assert (" ASC" in args[0]) and (" ASC" not in args[1])
 
 
+# --------------------------------------- components lineage truncation
+
+def test_neardup_components_lineage_truncation(spark, monkeypatch, tmp_path):
+    """Round-6 (found by tools/components_ab.py): DEEP propagation loops —
+    even with the single-reference self-edge plan — grow driver-side
+    Catalyst state super-linearly: 12 rounds took 68 s and 16 rounds
+    OOM'd the 8 g driver, inside the default max_iter envelope and
+    independent of data size. The loop now truncates lineage with a
+    vertex-sized parquet roundtrip every _TRUNCATE_EVERY rounds (after the
+    fix the same fixtures run 15 s / 18.8 s). This test forces several
+    truncations on a small chain and pins: exact labels, the caller-owned
+    cache contract (exactly one persisted frame, freed by unpersist), and
+    that roundtrip files were actually written."""
+    import os
+
+    from sparklead import dedup
+
+    monkeypatch.setattr(dedup, "_TRUNCATE_EVERY", 3)
+    n = 14  # 13-hop chain -> 13 rounds -> truncations at rounds 3, 6, 9, 12
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    spark.catalog.clearCache()
+    labels = dedup.neardup_components(pairs, max_iter=n, scratch_dir=str(tmp_path))
+    assert {r["id"]: r["component"] for r in labels.collect()} == {i: 0 for i in range(n)}
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() == 1
+    labels.unpersist()
+    assert jsc.getPersistentRDDs().size() == 0
+    assert any(name.startswith("round") for name in os.listdir(tmp_path))
+
+
 # ------------------------------------------------- bench harness smoke
 
 def test_bench_harness_smoke(spark, monkeypatch):
