@@ -599,7 +599,6 @@ def neardup_components(
     labels.count()
     changed = 0
     prev_cached = labels
-    spark = pairs.sparkSession
     scratch = scratch_dir
     for i in range(max_iter):
         # neighbor∪self minimum: propagate each vertex's label across edges
@@ -625,15 +624,15 @@ def neardup_components(
         if (i + 1) % _TRUNCATE_EVERY == 0:
             # deep loop: reset the plan to a fresh scan (docstring —
             # driver-side Catalyst state otherwise OOMs at ~16 rounds)
+            from sparklead.plan_utils import lineage_roundtrip
+
             if scratch is None:
                 import tempfile
 
                 scratch = tempfile.mkdtemp(prefix="sparklead_components_")
-            path = f"{scratch.rstrip('/')}/round{i + 1}"
-            labels.write.mode("overwrite").parquet(path)
+            labels = lineage_roundtrip(labels, scratch, f"round{i + 1}")
             new_labels.unpersist()
             prev_cached = None
-            labels = spark.read.parquet(path)
     if changed > 0:
         # the LAST allowed round changed labels — that alone doesn't prove
         # truncation (the final round may have been exactly the converging

@@ -31,6 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# plan doubles per S2 round (see _keyed) -> truncate lineage twice as often
+# as the linear-growth components loop (dedup._TRUNCATE_EVERY = 8)
+_TRUNCATE_EVERY = 4
+
 
 def _split_round(base: DataFrame, tokens_col: str, round_id: int) -> DataFrame:
     """One S2 round: per part_key, find the position with the fewest distinct
@@ -84,8 +88,26 @@ def _keyed(
     contract and what the golden tests pin; turn it on for reference-exact
     S1+S2+S3 staging."""
     base = df.withColumn("part_key", F.concat(F.lit("S1:"), F.size(tokens_col).cast("string")))
+    scratch = None
     for r in range(rounds):
         base = _split_round(base, tokens_col, r + 2)
+        # LINEAGE TRUNCATION for deep rounds (round-6, the
+        # neardup_components lesson — see plan_utils): _split_round
+        # references ``base`` twice (stats agg + refine join), so the
+        # logical plan DOUBLES per round — 2^rounds nodes, driver OOM at
+        # ~14 (CLAUDE.md). Every _TRUNCATE_EVERY rounds a corpus-sized
+        # parquet roundtrip resets the plan; the default rounds=2 (and
+        # every golden/gate configuration) never reaches it, keeping the
+        # miner fully lazy there. Skipped on the last round — the caller's
+        # own materialization boundary (persist in parse_pl_iplom) follows.
+        if (r + 1) % _TRUNCATE_EVERY == 0 and r + 1 < rounds:
+            from sparklead.plan_utils import lineage_roundtrip
+
+            if scratch is None:
+                import tempfile
+
+                scratch = tempfile.mkdtemp(prefix="sparklead_pliplom_")
+            base = lineage_roundtrip(base, scratch, f"s2_round{r + 2}")
     if bijection:
         from sparklead.mining.iplom import _step3
 

@@ -619,6 +619,35 @@ def test_neardup_components_lineage_truncation(spark, monkeypatch, tmp_path):
     assert any(name.startswith("round") for name in os.listdir(tmp_path))
 
 
+def test_pl_iplom_deep_rounds_truncation(spark, monkeypatch):
+    """Round-6: _split_round references its input twice (stats agg + refine
+    join), so the S2 loop's logical plan DOUBLES per round — 2^rounds
+    nodes, the documented driver-OOM shape at ~14 rounds. _keyed now does a
+    lineage-truncating parquet roundtrip every _TRUNCATE_EVERY rounds;
+    this pins that the roundtrip is a semantic NO-OP: deep-round templates
+    with truncation (rounds=9 -> truncations after rounds 4 and 8) equal
+    the same mining with truncation disabled."""
+    from sparklead.mining import pl_iplom as P
+
+    lines = [
+        f"conn from {h} port {p} ok"
+        for h in ("alpha", "beta", "gamma")
+        for p in ("22", "80")
+    ] * 3 + ["disk full on node7", "disk full on node9"] * 2
+    df = spark.createDataFrame([(ln.split(" "),) for ln in lines], "e_words array<string>")
+
+    def mine():
+        return {
+            (r["part_key"], r["template"])
+            for r in P.pl_iplom_templates(df, rounds=9).collect()
+        }
+
+    with_trunc = mine()
+    monkeypatch.setattr(P, "_TRUNCATE_EVERY", 99)
+    without_trunc = mine()
+    assert with_trunc == without_trunc and len(with_trunc) > 1
+
+
 # ------------------------------------------------- bench harness smoke
 
 def test_bench_harness_smoke(spark, monkeypatch):
