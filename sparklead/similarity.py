@@ -334,6 +334,13 @@ def _ivf_fit(vecs: DataFrame, n_centroids: int, seed: int, fit_sample: int, fit_
     try:
         return km.fit(fit_vecs)
     except Exception as e:
+        # EMPTY corpus (round-6 empty-input probe): KMeans cannot fit on
+        # zero rows and the prefix fallback would die identically — return
+        # None and let the caller produce an empty result. At scale an
+        # all-rows-filtered-away corpus is a normal pipeline state, not an
+        # error.
+        if vecs.select("_v").limit(1).isEmpty():
+            return None
         warnings.warn(
             f"_ivf_fit: sampled KMeans fit failed ({type(e).__name__}: {e}); "
             f"falling back to the prefix fit — correct only when the corpus "
@@ -404,6 +411,17 @@ def ivf_topk(
         array_to_vector(F.col(emb_col).cast("array<double>")).alias("_v"),
     )
     model = _ivf_fit(vecs, n_centroids, seed, fit_sample, fit_fraction)
+    if model is None:
+        # empty corpus: top-k over nothing is an empty frame with the
+        # contract schema, key types inherited from the inputs
+        return (
+            queries.select(F.col(key_col).alias("query_id"))
+            .limit(0)
+            .crossJoin(corpus.select(F.col(key_col).alias("neighbor_id")).limit(0))
+            .withColumn("rank", F.lit(1).cast("int"))
+            .withColumn("cosine", F.lit(0.0))
+            .select("query_id", "neighbor_id", "rank", "cosine")
+        )
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     cent_df = queries.sparkSession.createDataFrame(centroids, "cell int, centroid array<double>")
 

@@ -619,6 +619,20 @@ def test_neardup_components_lineage_truncation(spark, monkeypatch, tmp_path):
     assert any(name.startswith("round") for name in os.listdir(tmp_path))
 
 
+def test_ivf_topk_empty_corpus(spark):
+    """Round-6 empty-input probe: every library operator survives empty
+    (correctly typed) inputs EXCEPT ivf_topk — KMeans cannot fit on zero
+    rows and the prefix fallback died identically, so a fully-filtered
+    corpus (a normal pipeline state at scale) crashed the ANN path. Now an
+    empty corpus short-circuits to an empty contract-schema frame."""
+    from sparklead.similarity import ivf_topk
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = ivf_topk(emb, emb, k=3)
+    assert out.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+    assert out.count() == 0
+
+
 def test_pl_iplom_deep_rounds_truncation(spark, monkeypatch):
     """Round-6: _split_round references its input twice (stats agg + refine
     join), so the S2 loop's logical plan DOUBLES per round — 2^rounds
