@@ -21,7 +21,14 @@ from pyspark.sql import functions as F
 
 
 def ordered_list(value: Column | str, order: Column | str) -> Column:
-    """collect_list(value) deterministically ordered by ``order`` (asc)."""
+    """collect_list(value) deterministically ordered by ``order`` (asc).
+
+    SCALE BOUND: the whole group's list materializes in ONE aggregation
+    buffer, so this is safe only where the group size is domain-bounded —
+    log sequences (the reference's seq grain, thousands of events), never
+    corpus-grain groups. For unbounded groups use counting shapes instead
+    (value_counts / token_count_vectors), which stay constant-size per
+    group."""
     pair = F.struct(F.col(order) if isinstance(order, str) else order,
                     (F.col(value) if isinstance(value, str) else value).alias("v"))
     return F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["v"])
