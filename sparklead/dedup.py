@@ -597,9 +597,11 @@ def neardup_components(
     ).persist()
     labels = verts.withColumn("component", F.col("id")).persist()
     labels.count()
+    from sparklead.plan_utils import LineageTruncator
+
     changed = 0
     prev_cached = labels
-    scratch = scratch_dir
+    truncator = LineageTruncator(scratch_dir, prefix="sparklead_components")
     for i in range(max_iter):
         # neighbor∪self minimum: propagate each vertex's label across edges
         new_labels = (
@@ -624,13 +626,7 @@ def neardup_components(
         if (i + 1) % _TRUNCATE_EVERY == 0:
             # deep loop: reset the plan to a fresh scan (docstring —
             # driver-side Catalyst state otherwise OOMs at ~16 rounds)
-            from sparklead.plan_utils import lineage_roundtrip
-
-            if scratch is None:
-                import tempfile
-
-                scratch = tempfile.mkdtemp(prefix="sparklead_components_")
-            labels = lineage_roundtrip(labels, scratch, f"round{i + 1}")
+            labels = truncator.roundtrip(labels)
             new_labels.unpersist()
             prev_cached = None
     if changed > 0:
@@ -678,6 +674,7 @@ def dedup_by_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     components: DataFrame | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """End-to-end near-dedup decision: keep one representative per connected
     near-duplicate group (the min-id member), pass through all unpaired rows.
@@ -693,7 +690,11 @@ def dedup_by_components(
     ``components`` when the labels were already resolved (avoids re-running
     the propagation loop for callers that need both pairs-view and
     decision)."""
-    comps = components if components is not None else neardup_components(pairs, a_col, b_col)
+    comps = (
+        components
+        if components is not None
+        else neardup_components(pairs, a_col, b_col, scratch_dir=scratch_dir)
+    )
     drops = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(key_col)
     )
@@ -709,6 +710,7 @@ def neardup_text_dedup(
     bands: int = 4,
     threshold: float = 0.7,
     max_bucket: int = 10_000,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """One-call TEXT near-dedup: exact-dup collapse -> MinHash-LSH
     candidates -> exact Jaccard verify -> connected-component grouping ->
@@ -728,13 +730,17 @@ def neardup_text_dedup(
 
     Returns the deduplicated frame: ``df``'s columns for every kept row.
     Exact duplicates keep the min-key member; near-duplicate groups keep
-    the min-key member of each verified connected component."""
+    the min-key member of each verified connected component.
+
+    ``scratch_dir`` forwards to ``neardup_components`` for deep-chain
+    (diameter > 8) lineage roundtrips — on a cluster pass a job-scratch
+    URI (see its docstring); irrelevant for typical shallow dup graphs."""
     exact_keep = exact_dedup(df, text_col, key_col)
     cands = minhash_candidates(
         exact_keep, text_col, key_col, shingle_n, num_hashes, bands, max_bucket, fast=True
     )
     verified = jaccard_verify(exact_keep, cands, text_col, key_col, shingle_n, threshold)
-    return dedup_by_components(exact_keep, verified, key_col)
+    return dedup_by_components(exact_keep, verified, key_col, scratch_dir=scratch_dir)
 
 
 # ------------------------------------------------------------------ embedding near-dup

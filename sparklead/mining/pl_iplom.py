@@ -76,6 +76,7 @@ def _keyed(
     bijection: bool = False,
     ct: float = 0.35,
     lower: float = 0.25,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Attach the final part_key to every row (S1 + ``rounds`` S2 rounds,
     optionally followed by the S3 bijection split).
@@ -87,8 +88,10 @@ def _keyed(
     Default off: the iterated-S2 granularity is this miner's documented
     contract and what the golden tests pin; turn it on for reference-exact
     S1+S2+S3 staging."""
+    from sparklead.plan_utils import LineageTruncator
+
     base = df.withColumn("part_key", F.concat(F.lit("S1:"), F.size(tokens_col).cast("string")))
-    scratch = None
+    truncator = LineageTruncator(scratch_dir, prefix="sparklead_pliplom")
     for r in range(rounds):
         base = _split_round(base, tokens_col, r + 2)
         # LINEAGE TRUNCATION for deep rounds (round-6, the
@@ -101,13 +104,7 @@ def _keyed(
         # miner fully lazy there. Skipped on the last round — the caller's
         # own materialization boundary (persist in parse_pl_iplom) follows.
         if (r + 1) % _TRUNCATE_EVERY == 0 and r + 1 < rounds:
-            from sparklead.plan_utils import lineage_roundtrip
-
-            if scratch is None:
-                import tempfile
-
-                scratch = tempfile.mkdtemp(prefix="sparklead_pliplom_")
-            base = lineage_roundtrip(base, scratch, f"s2_round{r + 2}")
+            base = truncator.roundtrip(base)
     if bijection:
         from sparklead.mining.iplom import _step3
 
@@ -123,14 +120,22 @@ def pl_iplom_templates(
     support_threshold: float = 0.0001,
     _keyed_df: DataFrame | None = None,
     bijection: bool = False,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Mine templates: returns (part_key, template, template_id, part_len, is_outlier).
 
     Template = per position: countDistinct==1 ? first : '<*>' (pl_iplom.py:21-38).
     ``is_outlier`` marks partitions under the file-support threshold (FST,
     pl_iplom.py:232-242). template_id = md5(template)[:8] prefixed 'e'.
+    ``scratch_dir``: deep-round (``rounds`` >= _TRUNCATE_EVERY) lineage
+    roundtrips land here — ON A CLUSTER pass a job-scratch URI reachable by
+    every executor (the local tempdir default is single-process only).
     """
-    base = _keyed_df if _keyed_df is not None else _keyed(df.select(tokens_col), tokens_col, rounds, bijection)
+    base = (
+        _keyed_df
+        if _keyed_df is not None
+        else _keyed(df.select(tokens_col), tokens_col, rounds, bijection, scratch_dir=scratch_dir)
+    )
     per_pos = (
         base.select("part_key", F.posexplode(tokens_col).alias("pos", "tok"))
         .groupBy("part_key", "pos")
@@ -173,6 +178,7 @@ def parse_pl_iplom(
     rounds: int = 2,
     support_threshold: float = 0.0001,
     bijection: bool = False,
+    scratch_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Assign each event its PL-IPLoM template id; returns (df+id, template table).
 
@@ -189,7 +195,7 @@ def parse_pl_iplom(
     from pyspark.sql.functions import broadcast
 
     spark = df.sparkSession
-    keyed = _keyed(df, tokens_col, rounds, bijection).persist()
+    keyed = _keyed(df, tokens_col, rounds, bijection, scratch_dir=scratch_dir).persist()
     try:
         templates = pl_iplom_templates(df, tokens_col, rounds, support_threshold, _keyed_df=keyed)
         tpl = spark.createDataFrame(templates.collect(), templates.schema)

@@ -19,15 +19,69 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def lineage_roundtrip(df: DataFrame, scratch_dir: str, tag: str) -> DataFrame:
-    """Write ``df`` to ``scratch_dir/tag`` and re-read it: the returned
-    frame's plan is a fresh parquet scan, independent of how deep the
-    input's lineage was.
+def _fs_delete(df: DataFrame, path: str) -> None:
+    """Best-effort recursive delete through the Hadoop FileSystem API —
+    works for local paths AND cluster URIs (HDFS/S3), unlike shutil."""
+    try:
+        spark = df.sparkSession
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception:
+        pass  # cleanup is advisory; never fail the job over scratch files
 
-    EAGER (the write runs now) and the scratch files must OUTLIVE every
-    downstream consumer of the returned frame — an evicted cache partition
-    recomputes from them. On a cluster pass a job-scratch URI (HDFS/S3);
-    the local default callers use is a per-call temp dir."""
-    path = f"{scratch_dir.rstrip('/')}/{tag}"
-    df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+
+class LineageTruncator:
+    """Owns the scratch lifecycle for ONE iterative loop's roundtrips.
+
+    ``roundtrip(df)`` writes ``df`` to a scratch parquet and returns a
+    re-read whose plan is a fresh scan, independent of how deep the
+    input's lineage was. The write is EAGER. Lifecycle rules it enforces
+    (round-6 review findings):
+
+    * per-call ISOLATION — under a caller-supplied ``scratch_dir`` every
+      truncator instance writes into its own uuid subdirectory, so two
+      calls sharing one job-scratch URI can never overwrite each other's
+      files (a stale cached frame from call A would otherwise silently
+      recompute from call B's data);
+    * SUPERSESSION CLEANUP — as soon as roundtrip N+1 is durably written,
+      roundtrip N's files are dead weight (every live frame now roots at
+      N+1) and are deleted, so a deep loop holds at most one scratch file;
+    * the LAST roundtrip file must OUTLIVE every downstream consumer of
+      the returned frame — an evicted cache partition recomputes from it —
+      so it is never auto-deleted; with the local tempdir default that is
+      one vertex/corpus-sized dir per deep call, reclaimed with /tmp.
+
+    ``scratch_dir=None`` (the local default) creates a driver-local temp
+    dir — single-process correct only; ON A CLUSTER pass a job-scratch
+    URI (HDFS/S3) reachable by every executor.
+    """
+
+    def __init__(self, scratch_dir: str | None = None, prefix: str = "sparklead_roundtrip"):
+        self._scratch = scratch_dir
+        self._prefix = prefix
+        self._base: str | None = None
+        self._seq = 0
+        self._last: str | None = None
+
+    def roundtrip(self, df: DataFrame) -> DataFrame:
+        if self._base is None:
+            if self._scratch is None:
+                import tempfile
+
+                self._base = tempfile.mkdtemp(prefix=self._prefix + "_")
+            else:
+                import uuid
+
+                self._base = (
+                    f"{self._scratch.rstrip('/')}/{self._prefix}_{uuid.uuid4().hex[:12]}"
+                )
+        self._seq += 1
+        path = f"{self._base}/r{self._seq}"
+        df.write.mode("overwrite").parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        if self._last is not None:
+            _fs_delete(df, self._last)
+        self._last = path
+        return out
