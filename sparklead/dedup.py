@@ -601,67 +601,83 @@ def neardup_components(
 
     changed = 0
     prev_cached = labels
+    final = None
     truncator = LineageTruncator(scratch_dir, prefix="sparklead_components")
-    for i in range(max_iter):
-        # neighbor∪self minimum: propagate each vertex's label across edges
-        new_labels = (
-            edges_self.join(labels, edges_self.src == labels.id)
-            .select(F.col("dst").alias("id"), "component", "_self")
-            .groupBy("id")
-            .agg(
-                F.min("component").alias("component"),
-                F.min(F.when(F.col("_self"), F.col("component"))).alias("_old"),
+    try:
+        for i in range(max_iter):
+            # neighbor∪self minimum: propagate each vertex's label across edges
+            new_labels = (
+                edges_self.join(labels, edges_self.src == labels.id)
+                .select(F.col("dst").alias("id"), "component", "_self")
+                .groupBy("id")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.min(F.when(F.col("_self"), F.col("component"))).alias("_old"),
+                )
+                .persist()
             )
-            .persist()
-        )
-        # this count materializes new_labels into the cache AND measures
-        # convergence in the same job — no join against the old labels
-        changed = new_labels.filter(F.col("component") != F.col("_old")).count()
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = new_labels
-        labels = new_labels.select("id", "component")
-        if changed == 0:
-            break
-        if (i + 1) % _TRUNCATE_EVERY == 0:
-            # deep loop: reset the plan to a fresh scan (docstring —
-            # driver-side Catalyst state otherwise OOMs at ~16 rounds)
-            labels = truncator.roundtrip(labels)
-            new_labels.unpersist()
-            prev_cached = None
-    if changed > 0:
-        # the LAST allowed round changed labels — that alone doesn't prove
-        # truncation (the final round may have been exactly the converging
-        # one, e.g. graph diameter == max_iter). One extra un-persisted
-        # PROBE round distinguishes the two; warn only when labels would
-        # still move.
-        probe_changed = (
-            edges_self.join(labels, edges_self.src == labels.id)
-            .select(F.col("dst").alias("id"), "component", "_self")
-            .groupBy("id")
-            .agg(
-                F.min("component").alias("component"),
-                F.min(F.when(F.col("_self"), F.col("component"))).alias("_old"),
+            # this count materializes new_labels into the cache AND measures
+            # convergence in the same job — no join against the old labels
+            changed = new_labels.filter(F.col("component") != F.col("_old")).count()
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = new_labels
+            labels = new_labels.select("id", "component")
+            if changed == 0:
+                break
+            if (i + 1) % _TRUNCATE_EVERY == 0:
+                # deep loop: reset the plan to a fresh scan (docstring —
+                # driver-side Catalyst state otherwise OOMs at ~16 rounds)
+                labels = truncator.roundtrip(labels)
+                new_labels.unpersist()
+                prev_cached = None
+        if changed > 0:
+            # the LAST allowed round changed labels — that alone doesn't
+            # prove truncation (the final round may have been exactly the
+            # converging one, e.g. graph diameter == max_iter). One extra
+            # un-persisted PROBE round distinguishes the two; warn only
+            # when labels would still move.
+            probe_changed = (
+                edges_self.join(labels, edges_self.src == labels.id)
+                .select(F.col("dst").alias("id"), "component", "_self")
+                .groupBy("id")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.min(F.when(F.col("_self"), F.col("component"))).alias("_old"),
+                )
+                .filter(F.col("component") != F.col("_old"))
+                .count()
             )
-            .filter(F.col("component") != F.col("_old"))
-            .count()
-        )
-        if probe_changed > 0:
-            warnings.warn(
-                f"neardup_components: label propagation did not converge "
-                f"within max_iter={max_iter} rounds ({probe_changed} labels "
-                f"still changing) — groups with chains longer than max_iter "
-                f"hops remain SPLIT (under-dedup); raise max_iter",
-                RuntimeWarning,
-                stacklevel=2,
-            )
+            if probe_changed > 0:
+                warnings.warn(
+                    f"neardup_components: label propagation did not converge "
+                    f"within max_iter={max_iter} rounds ({probe_changed} labels "
+                    f"still changing) — groups with chains longer than max_iter "
+                    f"hops remain SPLIT (under-dedup); raise max_iter",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        # the loop's labels view projects the persisted (id, component,
+        # _old) frame, so the caller's documented ``.unpersist()`` would
+        # not free the underlying cache — hand back a clean persisted
+        # (id, component) copy (one vertex-sized cached-read job) and
+        # release the loop's own cache
+        final = labels.persist()
+        final.count()
+    except Exception:
+        # error path (e.g. a scratch write failing mid-loop or a failed
+        # probe/final job): release every cache this call created before
+        # propagating, or a caller that catches and retries accumulates
+        # orphaned persisted frames — the no-cache-outlives-a-public-call
+        # contract holds on failure too
+        for frame in (edges_self, prev_cached, final):
+            if frame is not None:
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass
+        raise
     edges_self.unpersist()
-    # the loop's labels view projects the persisted (id, component, _old)
-    # frame, so the caller's documented ``.unpersist()`` would not free the
-    # underlying cache — hand back a clean persisted (id, component) copy
-    # (one vertex-sized cached-read job) and release the loop's own cache
-    final = labels.persist()
-    final.count()
     if prev_cached is not None and prev_cached is not final:
         prev_cached.unpersist()
     return final

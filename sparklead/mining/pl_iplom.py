@@ -127,9 +127,12 @@ def pl_iplom_templates(
     Template = per position: countDistinct==1 ? first : '<*>' (pl_iplom.py:21-38).
     ``is_outlier`` marks partitions under the file-support threshold (FST,
     pl_iplom.py:232-242). template_id = md5(template)[:8] prefixed 'e'.
-    ``scratch_dir``: deep-round (``rounds`` >= _TRUNCATE_EVERY) lineage
-    roundtrips land here — ON A CLUSTER pass a job-scratch URI reachable by
-    every executor (the local tempdir default is single-process only).
+    ``scratch_dir``: deep-round lineage roundtrips land here (the first
+    fires after round _TRUNCATE_EVERY when MORE rounds follow, i.e. only
+    for ``rounds`` > _TRUNCATE_EVERY) — ON A CLUSTER pass a job-scratch
+    URI reachable by every executor (the local tempdir default is
+    single-process only; cluster callers own eventual scratch
+    reclamation, see plan_utils.LineageTruncator).
     """
     base = (
         _keyed_df

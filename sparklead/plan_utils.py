@@ -45,13 +45,22 @@ class LineageTruncator:
       calls sharing one job-scratch URI can never overwrite each other's
       files (a stale cached frame from call A would otherwise silently
       recompute from call B's data);
-    * SUPERSESSION CLEANUP — as soon as roundtrip N+1 is durably written,
-      roundtrip N's files are dead weight (every live frame now roots at
-      N+1) and are deleted, so a deep loop holds at most one scratch file;
+    * SUPERSESSION CLEANUP, DEFERRED BY ONE — roundtrip N is deleted when
+      N+2 is durably written, never when N+1 is: frames built BEFORE
+      roundtrip N+1 (e.g. the loop's still-persisted previous iterate,
+      unpersisted only after the roundtrip call returns) may still root
+      their eviction-recompute at N, so an immediate delete would make
+      correctness depend on the caller's unpersist ordering (round-6
+      second review pass). A deep loop therefore holds at most TWO
+      scratch files;
     * the LAST roundtrip file must OUTLIVE every downstream consumer of
       the returned frame — an evicted cache partition recomputes from it —
       so it is never auto-deleted; with the local tempdir default that is
-      one vertex/corpus-sized dir per deep call, reclaimed with /tmp.
+      up to two vertex/corpus-sized dirs per deep call, reclaimed with
+      /tmp. CLUSTER CALLERS OWN EVENTUAL RECLAMATION of their job-scratch
+      URI: wipe it once the returned frames are released (there is
+      deliberately no auto-delete hook — the truncator cannot know when
+      the caller's cached frames die).
 
     ``scratch_dir=None`` (the local default) creates a driver-local temp
     dir — single-process correct only; ON A CLUSTER pass a job-scratch
@@ -64,6 +73,7 @@ class LineageTruncator:
         self._base: str | None = None
         self._seq = 0
         self._last: str | None = None
+        self._prev: str | None = None
 
     def roundtrip(self, df: DataFrame) -> DataFrame:
         if self._base is None:
@@ -81,7 +91,8 @@ class LineageTruncator:
         path = f"{self._base}/r{self._seq}"
         df.write.mode("overwrite").parquet(path)
         out = df.sparkSession.read.parquet(path)
-        if self._last is not None:
-            _fs_delete(df, self._last)
+        if self._prev is not None:
+            _fs_delete(df, self._prev)
+        self._prev = self._last
         self._last = path
         return out

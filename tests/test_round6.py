@@ -617,14 +617,15 @@ def test_neardup_components_lineage_truncation(spark, monkeypatch, tmp_path):
     labels.unpersist()
     assert jsc.getPersistentRDDs().size() == 0
     # scratch lifecycle (second round-6 review pass): the call wrote into
-    # its own per-call subdir under scratch_dir, and SUPERSEDED roundtrips
-    # were deleted as soon as the next one was durable — 4 truncations
-    # (rounds 3/6/9/12) leave exactly the LAST file tree, which must
-    # outlive the returned frame (eviction-recompute roots there)
+    # its own per-call subdir under scratch_dir, and superseded roundtrips
+    # were deleted DEFERRED BY ONE (roundtrip N dies when N+2 is durable —
+    # frames unpersisted only after the N+1 call may still root recompute
+    # at N). 4 truncations (rounds 3/6/9/12) leave exactly the last two
+    # file trees; the final one must outlive the returned frame.
     subdirs = [d for d in os.listdir(tmp_path) if d.startswith("sparklead_components")]
     assert len(subdirs) == 1
-    rounds_left = os.listdir(tmp_path / subdirs[0])
-    assert rounds_left == ["r4"]
+    rounds_left = sorted(os.listdir(tmp_path / subdirs[0]))
+    assert rounds_left == ["r3", "r4"]
 
 
 def test_ivf_topk_empty_corpus(spark):
