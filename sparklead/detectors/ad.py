@@ -387,6 +387,23 @@ def threshold_search(
     return swept.orderBy(F.col("best_f1").desc(), F.col("best_thr").asc()).limit(1)
 
 
+def confusion_metrics(tp: int, fp: int, fn: int, tn: int) -> dict:
+    """accuracy / precision / recall / F1 from raw confusion counts — the
+    ONE place the metric formulas live (evaluate() and the report-store
+    feed both use it, so the gate's DuckDB recompute certifies the same
+    formulas everywhere)."""
+    total = tp + fp + fn + tn
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    return {
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "accuracy": (tp + tn) / total if total else 0.0,
+        "precision": prec,
+        "recall": rec,
+        "f1": 2 * prec * rec / (prec + rec) if prec + rec else 0.0,
+    }
+
+
 def evaluate(
     pred_df: DataFrame,
     label_col: str = "label",
@@ -400,16 +417,7 @@ def evaluate(
         for r in pred_df.groupBy(label_col, pred_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     tp, fp, fn, tn = c.get((1, 1), 0), c.get((0, 1), 0), c.get((1, 0), 0), c.get((0, 0), 0)
-    total = tp + fp + fn + tn
-    prec = tp / (tp + fp) if tp + fp else 0.0
-    rec = tp / (tp + fn) if tp + fn else 0.0
-    out = {
-        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
-        "accuracy": (tp + tn) / total if total else 0.0,
-        "precision": prec,
-        "recall": rec,
-        "f1": 2 * prec * rec / (prec + rec) if prec + rec else 0.0,
-    }
+    out = confusion_metrics(tp, fp, fn, tn)
     if score_col is not None:
         out["auc"] = roc_auc(pred_df, label_col, score_col).first()["auc"]
     return out

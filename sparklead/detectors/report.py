@@ -4,6 +4,12 @@ The reference accumulates (model, item_list_col, numeric_cols) -> metrics
 rows and prints mean/median pivot tables with su-/us- prefixes for
 supervised/unsupervised models. Report-side, not data-plane: plain pandas
 on the driver, fed by the relational ``evaluate`` dicts.
+
+GATE-ORACLED since round 7 (SURVEY §2 #75): the q:auc_threshold entry
+feeds a 4-config detector sweep through ``store()``, materializes the
+store rows (raw confusion counts included), computes the mean/median f1
+pivots with ``pivot()`` itself, and DuckDB recomputes the metric formulas
+(ad.confusion_metrics shape) and the pivot aggregation from scratch.
 """
 
 from __future__ import annotations

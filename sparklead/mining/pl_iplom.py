@@ -110,6 +110,10 @@ def _keyed(
 
         base = base.withColumn("_split2", F.col("part_key").contains("|s"))
         base = _step3(base, tokens_col, ct, lower, 0.9).drop("_split2")
+    # scratch reclamation hook (round-7, advisor fix — see plan_utils):
+    # the caller invokes it once nothing can recompute from the roundtrip
+    # files; no-op when rounds <= _TRUNCATE_EVERY (no roundtrip fired)
+    base.sparklead_release_scratch = truncator.release
     return base
 
 
@@ -207,4 +211,12 @@ def parse_pl_iplom(
     assigned = keyed.join(
         broadcast(tpl.select("part_key", F.col("template_id").alias(out_col))), "part_key", "left"
     ).drop("part_key")
+    # propagate the scratch-reclamation hook (round-7, advisor fix):
+    # ``assigned`` recomputes through the keyed lineage, whose deep-round
+    # variant roots at the truncator's last roundtrip file — the caller
+    # calls this once ``assigned`` is materialized or dropped (no-op for
+    # rounds <= _TRUNCATE_EVERY; tempdir default also atexit-reclaimed)
+    assigned.sparklead_release_scratch = getattr(
+        keyed, "sparklead_release_scratch", lambda: None
+    )
     return assigned, tpl

@@ -19,17 +19,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def _fs_delete(df: DataFrame, path: str) -> None:
+def _fs_delete_spark(spark, path: str) -> None:
     """Best-effort recursive delete through the Hadoop FileSystem API —
     works for local paths AND cluster URIs (HDFS/S3), unlike shutil."""
     try:
-        spark = df.sparkSession
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(hpath, True)
     except Exception:
         pass  # cleanup is advisory; never fail the job over scratch files
+
+
+def _fs_delete(df: DataFrame, path: str) -> None:
+    try:
+        _fs_delete_spark(df.sparkSession, path)
+    except Exception:
+        pass
 
 
 class LineageTruncator:
@@ -55,12 +61,18 @@ class LineageTruncator:
       scratch files;
     * the LAST roundtrip file must OUTLIVE every downstream consumer of
       the returned frame — an evicted cache partition recomputes from it —
-      so it is never auto-deleted; with the local tempdir default that is
-      up to two vertex/corpus-sized dirs per deep call, reclaimed with
-      /tmp. CLUSTER CALLERS OWN EVENTUAL RECLAMATION of their job-scratch
-      URI: wipe it once the returned frames are released (there is
-      deliberately no auto-delete hook — the truncator cannot know when
-      the caller's cached frames die).
+      so it is never auto-deleted mid-lifecycle; RECLAMATION (round-7,
+      advisor fix) is (a) explicit: ``release()`` deletes everything this
+      truncator wrote, for the caller to invoke once every frame derived
+      from a roundtrip is released or fully materialized elsewhere
+      (public callers re-export it as a ``sparklead_release_scratch``
+      attribute on their returned frame), and (b) automatic at process
+      exit for the LOCAL TEMPDIR DEFAULT only: the base dir is
+      atexit-registered, so a long-lived driver no longer strands
+      corpus-sized dirs in /tmp for the host's lifetime. Cluster callers
+      still own eventual reclamation of their job-scratch URI — the
+      truncator cannot know when the caller's cached frames die, so for
+      caller-supplied URIs nothing is deleted implicitly.
 
     ``scratch_dir=None`` (the local default) creates a driver-local temp
     dir — single-process correct only; ON A CLUSTER pass a job-scratch
@@ -74,13 +86,38 @@ class LineageTruncator:
         self._seq = 0
         self._last: str | None = None
         self._prev: str | None = None
+        self._spark = None
+
+    def release(self) -> None:
+        """Delete every scratch file this truncator created (the whole base
+        dir). Only call once no live frame can recompute from a roundtrip
+        file: all caches derived from ``roundtrip()`` results unpersisted,
+        or their contents durably materialized elsewhere. Idempotent;
+        no-op when no roundtrip ever fired (the shallow-loop fast path)."""
+        if self._base is None:
+            return
+        if self._spark is not None:
+            _fs_delete_spark(self._spark, self._base)
+        else:  # never wrote — tempfile.mkdtemp dir only
+            import shutil
+
+            shutil.rmtree(self._base, ignore_errors=True)
+        self._base = None
+        self._last = None
+        self._prev = None
 
     def roundtrip(self, df: DataFrame) -> DataFrame:
         if self._base is None:
             if self._scratch is None:
+                import atexit
+                import shutil
                 import tempfile
 
                 self._base = tempfile.mkdtemp(prefix=self._prefix + "_")
+                # tempdir default = driver-local path: reclaim at process
+                # exit (caches are dead then; plain shutil is correct for
+                # a guaranteed-local path even after the JVM is gone)
+                atexit.register(shutil.rmtree, self._base, ignore_errors=True)
             else:
                 import uuid
 
@@ -88,6 +125,7 @@ class LineageTruncator:
                     f"{self._scratch.rstrip('/')}/{self._prefix}_{uuid.uuid4().hex[:12]}"
                 )
         self._seq += 1
+        self._spark = df.sparkSession
         path = f"{self._base}/r{self._seq}"
         df.write.mode("overwrite").parquet(path)
         out = df.sparkSession.read.parquet(path)

@@ -272,23 +272,49 @@ def _auto_fit_fraction(corpus: DataFrame, fit_sample: int) -> float | None:
     under-fills fit_sample and the n_centroids guard warns), never biases
     it. Footer reads are driver-side and sequential, so lineages above
     _MAX_FOOTER_FILES also fall back rather than stalling plan
-    construction."""
+    construction.
+
+    Row-multiplier detection WALKS THE ANALYZED PLAN TREE and tests each
+    node's class name (round-7, advisor fix): the earlier implementation
+    substring-scanned ``analyzed.toString()``, which (a) false-positived
+    on string literals inside filters that happened to contain a node
+    name (safe direction, but noisy) and (b) would silently MISS a
+    multiplier if a Spark upgrade changed how a node renders — an
+    under-count here is precisely the bias this function exists to
+    remove. ``nodeName()`` is the Catalyst class simple name, stable
+    across rendering changes and unreachable from data values."""
     from urllib.parse import urlparse
 
-    _ROW_MULTIPLIERS = (
-        "Generate ",  # explode/posexplode/inline/stack
-        "Expand ",  # cube/rollup/grouping sets
+    # exact logical-plan node names that emit >1 output row per input row
+    _MULTIPLIER_NODES = {
+        "Generate",  # explode/posexplode/inline/stack
+        "Expand",  # cube/rollup/grouping sets
         "MapInPandas",
         "MapInArrow",
-        "FlatMap",  # FlatMapGroupsInPandas / FlatMapCoGroupsInPandas / ...
-        "MapGroups",
-        "CoGroup",
-    )
+        "PythonMapInArrow",
+    }
+    # class-name prefixes covering the flat-map/grouped-map families
+    # (FlatMapGroupsInPandas/...InArrow/...WithState, MapGroups, CoGroup,
+    # MapPartitions) — matched against nodeName, never rendered output
+    _MULTIPLIER_PREFIXES = ("FlatMap", "MapGroups", "CoGroup", "MapPartitions")
+
+    def _tree_has_multiplier(node) -> bool:
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            name = n.nodeName()
+            if name in _MULTIPLIER_NODES or name.startswith(_MULTIPLIER_PREFIXES):
+                return True
+            kids = n.children()
+            for i in range(kids.size()):
+                stack.append(kids.apply(i))
+        return False
+
     try:
         analyzed = corpus._jdf.queryExecution().analyzed()
         if analyzed.collectLeaves().size() != 1:
             return None
-        if any(tok in analyzed.toString() for tok in _ROW_MULTIPLIERS):
+        if _tree_has_multiplier(analyzed):
             return None
     except Exception:
         return None

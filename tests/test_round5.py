@@ -91,12 +91,12 @@ def test_auc_threshold_oracle_parity_with_new_quantizer(spark):
     got = entrymod._q_auc_threshold(spark, sf_dir).first()
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
-    want = con.execute(entrymod.oracle_sql()["auc_threshold"]).fetchone()
-    # round-5: the entry also carries the chronological-split columns
-    assert (
-        got["auc"], got["best_thr"], got["best_f1"],
-        got["n_train"], got["n_test"], got["train_max_ts"], got["test_min_ts"],
-    ) == want
+    cur = con.execute(entrymod.oracle_sql()["auc_threshold"])
+    cols = [d[0] for d in cur.description]
+    want = cur.fetchone()
+    # round-5: the entry also carries the chronological-split columns;
+    # round-7: plus the report-pivot columns — compare EVERY column by name
+    assert tuple(got[c] for c in cols) == want
 
 
 # ------------------------------------- flagship oracle input materialization

@@ -1,0 +1,292 @@
+"""Round-7 additions: decontamination operator, neardup_text_dedup cache
+discipline, LineageTruncator release/atexit reclamation, plan-tree
+row-multiplier detection, report-pivot gate leg, oracle float-boundary
+(ulp) guards."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- decontam
+
+def _corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "a completely different document about spark physical plans and shuffles"),
+        (2, "tokenizer quality metrics depend on corpus composition and dedup rates"),
+        (3, "short doc"),
+        (4, "an unrelated sentence mentioning nothing from any evaluation suite"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_containment_verbatim_partial_clean(spark):
+    from sparklead.decontam import ngram_containment
+
+    corpus = _corpus(spark)
+    # eval set: doc 0 verbatim; the FIRST 8 tokens of doc 2 (with n=4 that
+    # leaks 5 of doc 2's 9 distinct 4-grams)
+    ev = spark.createDataFrame(
+        [
+            ("the quick brown fox jumps over the lazy dog near the river bank",),
+            ("tokenizer quality metrics depend on corpus composition and",),
+        ],
+        "text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_containment(corpus, ev, ngram_n=4).collect()
+    }
+    assert out[0]["containment"] == 1.0
+    assert out[0]["n_hit"] == out[0]["n_ngrams"]
+    # doc 2 leaks a token prefix: recompute the expected partial containment
+    # from first principles instead of a magic number
+    toks = corpus.collect()
+    doc2 = [r["text"] for r in toks if r["doc_id"] == 2][0].split()
+    ev2 = "tokenizer quality metrics depend on corpus composition and".split()
+    grams = {" ".join(doc2[i : i + 4]) for i in range(len(doc2) - 3)}
+    ev_grams = {" ".join(ev2[i : i + 4]) for i in range(len(ev2) - 3)}
+    expect_hit = len(grams & ev_grams)
+    assert out[2]["n_hit"] == expect_hit
+    assert out[2]["containment"] == pytest.approx(expect_hit / len(grams))
+    # clean docs: zero hits
+    assert out[1]["n_hit"] == 0 and out[4]["n_hit"] == 0
+    # short doc (< n tokens): its whole token sequence is ONE gram, matched
+    # whole — absent from the eval set here
+    assert out[3]["n_ngrams"] == 1 and out[3]["n_hit"] == 0
+
+
+def test_ngram_containment_fast_lane_parity(spark):
+    """xxhash64 gram lane must agree with the string lane on a
+    collision-free fixture (64-bit collisions at this size: ~0)."""
+    from sparklead.decontam import ngram_containment
+
+    corpus = _corpus(spark)
+    ev = corpus.filter(F.col("doc_id").isin(0, 2)).select("text")
+    slow = {
+        r["doc_id"]: (r["n_ngrams"], r["n_hit"])
+        for r in ngram_containment(corpus, ev, ngram_n=3, fast=False).collect()
+    }
+    fast = {
+        r["doc_id"]: (r["n_ngrams"], r["n_hit"])
+        for r in ngram_containment(corpus, ev, ngram_n=3, fast=True).collect()
+    }
+    assert slow == fast
+
+
+def test_contaminated_docs_and_decontaminate_partition(spark):
+    """contaminated_docs + decontaminate partition the corpus exactly."""
+    from sparklead.decontam import contaminated_docs, decontaminate
+
+    corpus = _corpus(spark)
+    ev = corpus.filter(F.col("doc_id") == 0).select("text")
+    bad = contaminated_docs(corpus, ev, ngram_n=4, threshold=0.8)
+    kept = decontaminate(corpus, ev, ngram_n=4, threshold=0.8)
+    bad_ids = {r["doc_id"] for r in bad.collect()}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert bad_ids == {0}
+    assert kept_ids == {1, 2, 3, 4}
+    # evidence columns ride the contaminated rows
+    assert {"n_ngrams", "n_hit", "containment"} <= set(bad.columns)
+
+
+def test_decontamination_single_corpus_scan(spark, sf_dir):
+    """The containment plan must scan the corpus parquet ONCE (the round-7
+    single-pass rewrite: totals carried through the explode, not a second
+    scan joined back)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod._q_decontamination(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("documents.parquet")
+    # eval set (2 filtered scans) + corpus (1) = 3; a totals re-scan would
+    # make it 4+
+    assert n_scans <= 3, f"corpus scanned more than once:\n{plan[:4000]}"
+
+
+# ------------------------------------------------- neardup cache discipline
+
+def test_neardup_text_dedup_cache_contract(spark):
+    """During the call, cands+verified are persisted; after the returned
+    frame materializes, the ONLY surviving cache is the component-labels
+    frame (caller-owned), and clearCache() ends at zero."""
+    from sparklead.dedup import neardup_text_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} common text body shared {i % 3}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    spark.catalog.clearCache()
+    out = neardup_text_dedup(docs, shingle_n=2, threshold=0.4)
+    out.count()
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() == 1  # comps only
+    # scratch hook propagated through the composition (no-op here: shallow)
+    getattr(out, "sparklead_release_scratch", lambda: None)()
+    spark.catalog.clearCache()
+    assert jsc.getPersistentRDDs().size() == 0
+
+
+# ------------------------------------------------- truncator release/atexit
+
+def test_lineage_truncator_release_and_atexit(spark, tmp_path):
+    from sparklead.plan_utils import LineageTruncator
+
+    t = LineageTruncator(str(tmp_path / "scratch"))
+    df = spark.range(10)
+    out = t.roundtrip(df)
+    assert out.count() == 10
+    assert t._base is not None and os.path.exists(
+        t._base.replace("file:", "")
+    )
+    base = t._base
+    t.release()
+    assert not os.path.exists(base.replace("file:", ""))
+    assert t._base is None
+    t.release()  # idempotent
+
+    # tempdir default: the base must be atexit-registered for reclamation
+    import atexit
+    import shutil
+    from unittest import mock
+
+    t2 = LineageTruncator(None)
+    with mock.patch.object(atexit, "register") as reg:
+        t2.roundtrip(df).count()
+    assert reg.call_count == 1
+    assert reg.call_args[0][0] is shutil.rmtree
+    assert reg.call_args[0][1] == t2._base
+    t2.release()
+
+
+def test_neardup_components_release_hook_deep_chain(spark, tmp_path):
+    """A >8-hop chain forces a lineage roundtrip; the returned frame's
+    sparklead_release_scratch hook must delete the scratch AFTER the
+    caller's unpersist."""
+    from sparklead.dedup import neardup_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a_id long, b_id long"
+    )
+    labels = neardup_components(pairs, scratch_dir=str(tmp_path / "s"))
+    rows = {r["id"]: r["component"] for r in labels.collect()}
+    assert set(rows.values()) == {0}
+    assert hasattr(labels, "sparklead_release_scratch")
+    # a roundtrip fired (chain diameter > _TRUNCATE_EVERY), so scratch exists
+    scratch_children = list((tmp_path / "s").iterdir())
+    assert scratch_children, "expected a roundtrip scratch dir for a 12-hop chain"
+    labels.unpersist()
+    labels.sparklead_release_scratch()
+    leftover = [p for d in (tmp_path / "s").iterdir() for p in d.iterdir()] if (
+        tmp_path / "s"
+    ).exists() else []
+    assert leftover == [], f"scratch not reclaimed: {leftover}"
+
+
+# ------------------------------------------------- plan-tree multiplier walk
+
+def test_auto_fit_fraction_string_literal_no_false_positive(spark, tmp_path):
+    """Advisor fix: detection walks node CLASS NAMES, so a filter whose
+    string literal contains 'Generate ' no longer forces the static-default
+    fallback (filters only shrink the draw — documented safe direction)."""
+    from sparklead.similarity import _auto_fit_fraction
+
+    path = str(tmp_path / "c")
+    spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("tag"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    ).write.parquet(path)
+    corpus = spark.read.parquet(path)
+    filtered = corpus.filter(F.col("tag") != "Generate Expand MapInPandas")
+    assert _auto_fit_fraction(filtered, 10) == 0.1
+    # real multipliers still fall back
+    assert _auto_fit_fraction(
+        corpus.select("vec_id", F.explode("embedding").alias("x")), 10
+    ) is None
+    assert (
+        _auto_fit_fraction(
+            corpus.mapInPandas(lambda it: it, corpus.schema), 10
+        )
+        is None
+    )
+
+
+# ------------------------------------------------- report pivot gate leg
+
+def test_report_pivot_rides_auc_threshold(spark):
+    """The pivot columns on the auc_threshold row must equal mean/median of
+    the per-run f1 recomputed directly from the materialized store rows."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    row = entrymod._q_auc_threshold(spark, "/root/testdata/sf0.01").first()
+    store = pd.read_parquet(entrymod.AUC_REPORT_OUTPUT)
+    assert len(store) == 8  # 2 models x 2 inputs x 2 run halves
+    for m in ("THRP50", "THRP90"):
+        for i in ("value", "logvalue"):
+            cell = store[(store["model"] == f"su-{m}") & (store["input"] == i)]
+            assert len(cell) == 2
+            assert row[f"f1mean_{m.lower()}_{i}"] == pytest.approx(
+                cell["f1"].mean(), abs=1e-6
+            )
+            assert row[f"f1med_{m.lower()}_{i}"] == pytest.approx(
+                cell["f1"].median(), abs=1e-6
+            )
+
+
+# ------------------------------------------------- oracle ulp guards (A3)
+
+def test_ad_predictions_margins_clear_of_zero(spark):
+    """Advisor fix: the ad_predictions oracle certifies sign(coef.x + b)
+    across engines — a margin within ~1 ulp of 0 would make the gate flaky
+    for reasons unrelated to a regression. Guard the gate fixture."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    entrymod._q_ad_predictions(spark, "/root/testdata/sf0.01").count()
+    feats = pd.read_parquet(os.path.join(entrymod.AD_PRED_OUTPUT, "features"))
+    model = pd.read_parquet(os.path.join(entrymod.AD_PRED_OUTPUT, "model")).iloc[0]
+    coef, intercept = model["coef"], float(model["intercept"])
+    margins = feats["x"].map(
+        lambda v: abs(sum(c * x for c, x in zip(coef, v)) + intercept)
+    )
+    assert margins.min() > 1e-6, (
+        f"LR margin {margins.min():.3e} too close to the decision boundary — "
+        "a corpus change landed on a float boundary; adjust the fixture"
+    )
+
+
+def test_ivf_topk_cosines_clear_of_round_boundary(spark):
+    """Advisor fix: the ivf_topk oracle compares round(cosine, 4) across
+    engines; a cosine sitting at a .00005 boundary could round differently
+    per engine. Guard the gate fixture's distance to the boundary."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    import math
+
+    entrymod._q_ivf_topk(spark, "/root/testdata/sf0.01").count()
+    out = pd.read_parquet(entrymod.IVF_TOPK_OUTPUT)
+    emb = pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet").set_index(
+        "vec_id"
+    )["embedding"]
+
+    def cos(q, n):
+        a, b = emb.loc[q], emb.loc[n]
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    raw = out.apply(lambda r: cos(r["query_id"], r["neighbor_id"]), axis=1)
+    dist = ((raw.abs() * 1e4) % 1.0 - 0.5).abs().min()
+    assert dist > 1e-6, (
+        f"a fixture cosine sits {dist:.2e} from a round(.,4) half-way "
+        "boundary — engines may round it apart; adjust the fixture"
+    )
