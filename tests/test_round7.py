@@ -76,6 +76,19 @@ def test_ngram_containment_fast_lane_parity(spark):
     assert slow == fast
 
 
+def test_ngram_containment_empty_eval_set(spark):
+    """An empty eval set (a normal pipeline state: nothing to screen
+    against) must yield zero hits for every doc, not an error."""
+    from sparklead.decontam import decontaminate, ngram_containment
+
+    corpus = _corpus(spark)
+    ev = corpus.filter(F.lit(False)).select("text")
+    out = ngram_containment(corpus, ev, ngram_n=4).collect()
+    assert len(out) == 5
+    assert all(r["n_hit"] == 0 and r["containment"] == 0.0 for r in out)
+    assert decontaminate(corpus, ev, ngram_n=4).count() == 5
+
+
 def test_contaminated_docs_and_decontaminate_partition(spark):
     """contaminated_docs + decontaminate partition the corpus exactly."""
     from sparklead.decontam import contaminated_docs, decontaminate
@@ -104,6 +117,11 @@ def test_decontamination_single_corpus_scan(spark, sf_dir):
     # eval set (2 filtered scans) + corpus (1) = 3; a totals re-scan would
     # make it 4+
     assert n_scans <= 3, f"corpus scanned more than once:\n{plan[:4000]}"
+    # the eval-gram set must reach the corpus stream as a BROADCAST build
+    # side — a sort-merge join here would shuffle every corpus gram on its
+    # hash, the exact shape the operator exists to avoid at 100 TB
+    assert "BroadcastHashJoin" in plan, plan[:4000]
+    assert "SortMergeJoin" not in plan, f"eval join degraded to SMJ:\n{plan[:4000]}"
 
 
 # ------------------------------------------------- neardup cache discipline

@@ -50,10 +50,13 @@ def _bench_once(checkout: str, env: dict) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     alternations = 2
-    if "--alternations" in sys.argv:
-        alternations = int(sys.argv[sys.argv.index("--alternations") + 1])
+    if "--alternations" in argv:
+        i = argv.index("--alternations")
+        alternations = int(argv[i + 1])
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     if not args:
         print(__doc__)
         raise SystemExit(2)
