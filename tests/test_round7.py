@@ -6,6 +6,7 @@ row-multiplier detection, report-pivot gate leg, oracle float-boundary
 import os
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 
@@ -308,3 +309,55 @@ def test_ivf_topk_cosines_clear_of_round_boundary(spark):
         f"a fixture cosine sits {dist:.2e} from a round(.,4) half-way "
         "boundary — engines may round it apart; adjust the fixture"
     )
+
+
+# ------------------------------------------- decontam property test (r7b)
+# One Spark round-trip per example batch (the test_nezha_props convention).
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.data(),
+)
+def test_ngram_containment_matches_python_oracle(spark, data):
+    """ngram_containment (string lane) against a from-scratch pure-Python
+    oracle: same \\s+ tokenization, same short-doc clamp (docs shorter than
+    n contribute their whole token sequence as ONE gram), same distinct-set
+    semantics. Random ASCII word soup, random n."""
+    import re
+
+    from sparklead.decontam import ngram_containment
+
+    word = st.text(alphabet="abcdeX", min_size=1, max_size=4)
+    text = st.lists(word, min_size=0, max_size=12).map(" ".join)
+    corpus_texts = data.draw(st.lists(text, min_size=1, max_size=12))
+    eval_texts = data.draw(st.lists(text, min_size=0, max_size=4))
+    n = data.draw(st.integers(min_value=2, max_value=4))
+
+    def py_grams(t: str) -> set:
+        toks = re.split(r"\s+", t)
+        return {
+            " ".join(toks[i : i + n])
+            for i in range(max(len(toks) - n + 1, 1))
+        }
+
+    ev_union = set().union(*map(py_grams, eval_texts)) if eval_texts else set()
+
+    corpus = spark.createDataFrame(
+        list(enumerate(corpus_texts)), "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(t,) for t in eval_texts], "text string"
+    ) if eval_texts else corpus.filter(F.lit(False)).select("text")
+
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_hit"], r["containment"])
+        for r in ngram_containment(corpus, ev, ngram_n=n).collect()
+    }
+    assert set(got) == set(range(len(corpus_texts)))
+    for i, t in enumerate(corpus_texts):
+        g = py_grams(t)
+        hit = len(g & ev_union)
+        n_g, n_h, c = got[i]
+        assert n_g == len(g), (t, n)
+        assert n_h == hit, (t, n, g, ev_union)
+        assert abs(c - hit / max(len(g), 1)) < 1e-12
