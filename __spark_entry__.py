@@ -1588,9 +1588,27 @@ def _q_ad_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary 1-0.3 at other fractions). The global sort inside the
     permutation method is bounded by construction here (fixed 2000-line
     synth corpus) — the library docstring routes scale callers to the
-    hash-bucket method."""
+    hash-bucket method.
+
+    HASH-BUCKET-SPLIT evidence (round 7 — graduates the last leg of SURVEY
+    §2 #77, previously pytest-only): tr/te above are the library's default
+    hash split; their recorded memberships are materialized next to the
+    bucket value u — computed by the SAME ``hash_bucket`` expression the
+    split thresholds (shared by import, sparklead/detectors/ad.py). The
+    returned n_hash_train/n_hash_test/n_hash_distinct RECOUNT the recorded
+    flags + distinct keys; DuckDB re-derives the sides from u and the rule
+    alone (u < frac -> test) and the key total from the perm table. A hash
+    match certifies recorded side == rule(u) for every key, no duplicate
+    keys, and both split lanes covering the identical frame; only the
+    xxhash64 bucket values themselves stay engine-specific (DuckDB lacks
+    xxhash64 — the documented residue this evidence shrinks to)."""
     from sparklead import synth
-    from sparklead.detectors.ad import AnomalyDetector, SeqFeaturizer, train_test_split
+    from sparklead.detectors.ad import (
+        AnomalyDetector,
+        SeqFeaturizer,
+        hash_bucket,
+        train_test_split,
+    )
     from sparklead.enhancers import eventlog as E
     from sparklead.enhancers.sequence import aggregate_sequences
     from sparklead.mining.drain import parse_drain
@@ -1619,6 +1637,15 @@ def _q_ad_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ptr.select("seq_id", F.lit(0).alias("perm_test")).unionByName(
             pte.select("seq_id", F.lit(1).alias("perm_test"))
         ).write.mode("overwrite").parquet(os.path.join(AD_PRED_OUTPUT, "perm"))
+        # hash-bucket split contract (round 7 — graduates SURVEY §2 #77's
+        # last leg): tr/te above ARE the default hash split; record each
+        # side's membership next to the bucket value the split thresholds
+        # (the SAME hash_bucket expression, shared by import)
+        tr.select("seq_id", F.lit(0).alias("hash_test")).unionByName(
+            te.select("seq_id", F.lit(1).alias("hash_test"))
+        ).withColumn("u", hash_bucket("seq_id", 42)).write.mode("overwrite").parquet(
+            os.path.join(AD_PRED_OUTPUT, "hash")
+        )
         _ad_pred_written = True
     pred = spark.read.parquet(os.path.join(AD_PRED_OUTPUT, "features")).select(
         "seq_id", "pred_ano"
@@ -1630,7 +1657,22 @@ def _q_ad_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("perm_test")).cast("long").alias("n_perm_train"),
         F.sum("perm_test").cast("long").alias("n_perm_test"),
     )
-    return pred.crossJoin(broadcast(stats)).crossJoin(broadcast(perm_stats))
+    # hash-split contract recount (round 7): Spark counts the RECORDED side
+    # flags + distinct keys; the oracle re-derives the sides from the
+    # materialized bucket u and the threshold rule (u < frac -> test), and
+    # takes the distinct-key total from the perm table (the same seq frame)
+    # — a hash match therefore certifies recorded sides == rule(u), no
+    # duplicated keys, and both split lanes covering the identical frame.
+    hash_stats = spark.read.parquet(os.path.join(AD_PRED_OUTPUT, "hash")).agg(
+        F.sum(1 - F.col("hash_test")).cast("long").alias("n_hash_train"),
+        F.sum("hash_test").cast("long").alias("n_hash_test"),
+        F.countDistinct("seq_id").alias("n_hash_distinct"),
+    )
+    return (
+        pred.crossJoin(broadcast(stats))
+        .crossJoin(broadcast(perm_stats))
+        .crossJoin(broadcast(hash_stats))
+    )
 
 
 STREAM_ROUTE_DIR = f"{_EVIDENCE_BASE}/stream_route"
@@ -2774,10 +2816,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT (pn.n - pf.n_perm_test)::bigint AS n_perm_train,
                      pf.n_perm_test
               FROM pn, pf
+            ),
+            -- hash-bucket split contract (round 7 — SURVEY §2 #77's last
+            -- leg): the Spark side RECOUNTS its recorded side flags; this
+            -- side IGNORES them and re-derives every assignment from the
+            -- materialized bucket u and the threshold rule (u < 0.5 ->
+            -- test, the exact comparison the split filters evaluate — 0.5
+            -- is IEEE-exact on both engines). n_hash_distinct comes from
+            -- the PERM table: equality certifies the hash lane covers the
+            -- same frame with no duplicated keys. Only the xxhash64 bucket
+            -- VALUES stay engine-specific (DuckDB has no xxhash64), like
+            -- the KMeans centroids in ivf_topk.
+            hstat AS (
+              SELECT sum((u >= 0.5)::int)::bigint AS n_hash_train,
+                     sum((u < 0.5)::int)::bigint AS n_hash_test
+              FROM read_parquet('{AD_PRED_OUTPUT}/hash/*.parquet')
+            ), hd AS (
+              SELECT count(*)::bigint AS n_hash_distinct
+              FROM read_parquet('{AD_PRED_OUTPUT}/perm/*.parquet')
             )
             SELECT p.seq_id, p.pred_ano, s.n_test, s.n_pred_ano,
-                   ps.n_perm_train, ps.n_perm_test
-            FROM pred p, stats s, pstat ps
+                   ps.n_perm_train, ps.n_perm_test,
+                   hs.n_hash_train, hs.n_hash_test, hd.n_hash_distinct
+            FROM pred p, stats s, pstat ps, hstat hs, hd
         """,
         # streaming_route (round-6): materialized-input replay. DuckDB
         # recomputes the per-(source, label, region) rollups straight from

@@ -27,6 +27,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hash_bucket(key_col: str, seed: int = 42):
+    """The deterministic [0,1) split bucket: pmod(xxhash64(key, seed), 1e6)
+    / 1e6. Factored out (round 7) so the gate's materialized-evidence lane
+    provably evaluates the SAME expression the split applies — DuckDB then
+    re-derives every side assignment from the recorded bucket and the
+    threshold rule alone (the xxhash64 values themselves stay
+    engine-specific, like the KMeans centroids in ivf_topk)."""
+    return (
+        F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.lit(1_000_000))
+        / 1_000_000.0
+    )
+
+
 def train_test_split(
     df_seq: DataFrame,
     test_frac: float = 0.5,
@@ -57,7 +70,7 @@ def train_test_split(
         train = ranked.filter(F.col("_pr") < 1 - test_frac).drop("_pr")
         test = ranked.filter(F.col("_pr") >= 1 - test_frac).drop("_pr")
     elif shuffle:
-        u = F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
+        u = hash_bucket(key_col, seed)
         train = df_seq.filter(u >= test_frac)
         test = df_seq.filter(u < test_frac)
     else:
@@ -124,10 +137,7 @@ def train_test_split(
             want = test_frac * counts["n"] - counts["n_gt"]
             frac_tied = min(max(want / max(n_tied, 1), 0.0), 1.0)
             frac_null = min(max((want - n_tied) / max(counts["n_null"], 1), 0.0), 1.0)
-            u = (
-                F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.lit(1_000_000))
-                / 1_000_000.0
-            )
+            u = hash_bucket(key_col, seed)
             tied_nonnull = F.col(time_col).isNotNull() & ~gt
             is_test = (
                 gt

@@ -477,6 +477,12 @@ def test_neardup_components_unpersist_frees_cache(spark):
     public-call rule, extended to the new internal frame)."""
     from sparklead.dedup import neardup_components
 
+    # start from a clean cache state (round-7 fix: other modules' cached
+    # FIXTURES — e.g. test_pl_iplom_ad_streaming's module-scoped frames —
+    # legitimately outlive their tests; the zero-pin below must count only
+    # caches created by the call under test, same discipline as the
+    # round-4/5/7 pins)
+    spark.catalog.clearCache()
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "a_id long, b_id long"
     )

@@ -361,3 +361,37 @@ def test_ngram_containment_matches_python_oracle(spark, data):
         assert n_g == len(g), (t, n)
         assert n_h == hit, (t, n, g, ev_union)
         assert abs(c - hit / max(len(g), 1)) < 1e-12
+
+
+def test_ad_predictions_hash_split_oracle(spark):
+    """Round-7 graduation of SURVEY §2 #77's last leg: the hash-bucket
+    split's recorded sides replay from the materialized bucket values —
+    DuckDB re-derives every assignment from u and the threshold rule while
+    Spark recounts the recorded flags; the two must hash-match. Here:
+    coherence of the certified counts, plus the materialized u matches
+    the shared hash_bucket expression row-for-row."""
+    import __spark_entry__ as entrymod
+    import pandas as pd
+    from test_round6 import _duck_parity
+
+    pdf = _duck_parity(spark, "ad_predictions")
+    n_tr = int(pdf["n_hash_train"].iloc[0])
+    n_te = int(pdf["n_hash_test"].iloc[0])
+    n_all = int(pdf["n_hash_distinct"].iloc[0])
+    assert n_tr > 0 and n_te > 0, "both hash-split sides must be non-empty"
+    assert n_tr + n_te == n_all == int(
+        pdf["n_perm_train"].iloc[0] + pdf["n_perm_test"].iloc[0]
+    ), "hash lane must partition the exact frame the perm lane covers"
+
+    # the materialized u IS hash_bucket(seq_id, 42) — recompute in Spark
+    from sparklead.detectors.ad import hash_bucket
+
+    hb = pd.read_parquet(os.path.join(entrymod.AD_PRED_OUTPUT, "hash"))
+    re_u = {
+        r["seq_id"]: r["u"]
+        for r in spark.createDataFrame(hb[["seq_id"]])
+        .withColumn("u", hash_bucket("seq_id", 42))
+        .collect()
+    }
+    assert all(re_u[s] == u for s, u in zip(hb["seq_id"], hb["u"]))
+    assert all((u < 0.5) == bool(t) for u, t in zip(hb["u"], hb["hash_test"]))
