@@ -34,6 +34,12 @@ HEADLINE = [
     "lang_quality",
     "lang_quality_fast",  # private entry fn — xxhash winnowing lane (md5 lane stays gated)
     "doc_token_stats",
+    # round-7 operator: eval-set n-gram containment over the documents
+    # table — both lanes in the headline so the broadcast-eval join shape's
+    # cost is tracked round-over-round (gated md5/string oracle lane +
+    # bench-only xxhash production lane, the lang_quality twin pattern)
+    "decontamination",
+    "decontamination_fast",  # private entry fn — 8-byte gram keys, the 100 TB lane
     "drain_templates",  # private entry fn — miners are gated via parser_templates
     # private entry fn — the one-call dedup composition (exact -> LSH ->
     # verify -> components -> keep) over the seeded-dup 20k corpus; added
