@@ -51,9 +51,31 @@ def main() -> None:
         sig = minhash_signature(word_shingles("text", 3), 4)
         return d.select("doc_id", sig.getItem(0).alias("mh0"), sig.getItem(3).alias("mh3"))
 
+    def decontam(docs):
+        # the A/B prepped frame is the CORPUS side (the side _fan targets);
+        # the eval set always derives from a plain read — its grams collapse
+        # behind their own distinct exchange either way
+        from sparklead.decontam import ngram_containment
+
+        plain = read("documents")
+        w = F.split("text", " ")
+        ev = (
+            plain.filter(F.col("doc_id") % 23 == 0)
+            .select("text")
+            .unionByName(
+                plain.filter(F.col("doc_id") % 23 == 7).select(
+                    F.array_join(
+                        F.slice(w, 1, F.ceil(F.size(w) / 2).cast("int")), " "
+                    ).alias("text")
+                )
+            )
+        )
+        return ngram_containment(docs, ev, ngram_n=8, fast=True)
+
     cases = {
         "knn_cosine": ("embeddings", knn),
         "minhash_signature": ("documents", minhash),
+        "decontamination_fast": ("documents", decontam),
     }
     # warmup
     _force(knn(read("embeddings")))
