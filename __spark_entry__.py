@@ -1418,6 +1418,7 @@ def prepare_bench_inputs(spark: SparkSession) -> None:
     don't need it (the lazy guards still fire on demand)."""
     _write_neardup_bench_input(spark)
     _write_drain_bench_input(spark)
+    _write_packing_bench_input(spark)
 
 
 def _q_neardup_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1451,6 +1452,40 @@ def _write_drain_bench_input(spark: SparkSession) -> None:
             DRAIN_BENCH_INPUT
         )
         _drain_bench_written = True
+
+
+PACKING_BENCH_INPUT = f"{_EVIDENCE_BASE}/packing_bench_input"
+_packing_bench_written = False
+
+
+def _write_packing_bench_input(spark: SparkSession) -> None:
+    global _packing_bench_written
+    if not _packing_bench_written:
+        from sparklead.synth import pretokenized
+
+        pretokenized(spark, 200_000, partitions=32).write.mode("overwrite").parquet(
+            PACKING_BENCH_INPUT
+        )
+        _packing_bench_written = True
+
+
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the north-rule input table (bench-only, not
+    gated — the greedy kernel is pinned against a from-scratch Python
+    oracle + repartition-invariance in tests/test_round7.py; this line
+    tracks the chunk -> assign -> join-back -> stats composition's cost
+    round-over-round). 200k pretokenized docs materialized once per
+    process (the drain_templates pattern), budget 256, 64 salt buckets so
+    the synth corpus's exponential source skew cannot serialize the
+    pandas lane through one task."""
+    from sparklead.packing import pack_stats, pack_tokenized
+
+    _write_packing_bench_input(spark)
+    df = spark.read.parquet(PACKING_BENCH_INPUT)
+    packed = pack_tokenized(df, 256, salt_buckets=64)
+    return pack_stats(packed, 256).select(
+        "source", "_bucket_salt", "pack_id", "n_items", "n_tokens", "fill_ratio"
+    )
 
 
 def _q_drain_templates(spark: SparkSession, sf_dir: str) -> DataFrame:

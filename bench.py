@@ -41,6 +41,10 @@ HEADLINE = [
     "decontamination",
     "decontamination_fast",  # private entry fn — 8-byte gram keys, the 100 TB lane
     "drain_templates",  # private entry fn — miners are gated via parser_templates
+    # round-7 operator (bench-only; greedy kernel Python-oracle-pinned in
+    # pytest): chunk -> greedy pack -> join-back -> fill stats over 200k
+    # pretokenized docs — the training-batch construction step
+    "sequence_packing",
     # private entry fn — the one-call dedup composition (exact -> LSH ->
     # verify -> components -> keep) over the seeded-dup 20k corpus; added
     # round-6 (judge item #4) so stage-plan regressions show in BENCH_r{N}

@@ -1,0 +1,163 @@
+"""Sequence packing: fill fixed token budgets with pre-tokenized documents
+— the training-batch construction step of an LLM data pipeline, operating
+directly on the north-rule input table (doc_id, tokens:array<int>, n_tok,
+source). Reference scope: the LogLead reference has no packing operator —
+this extends the repo's first-class LLM-pipeline surface (dedup.py /
+decontam.py / similarity.py), per the brief's training-data-pipeline axis.
+
+Semantics (greedy contiguous packing, the standard pretraining recipe):
+walk a bucket's items in a caller-fixed total order; start a new pack
+whenever adding the next item would exceed ``max_tokens``. Documents
+longer than the budget are first CHUNKED into consecutive
+``max_tokens``-sized slices (pure relational slice/explode — no UDF), so
+after chunking every item fits and every pack sum is <= max_tokens.
+
+Design for 100 TB:
+* The greedy walk is a prefix-dependent recurrence Catalyst cannot
+  express (a cumsum-chunking approximation provably overfills: items
+  500, 600, 600 at budget 1000 land 600+600=1200 in one pack), so the
+  DECISION runs in the sanctioned grouped-pandas lane (the two-phase
+  miner pattern) — but over a NARROW projection only: (bucket, order
+  keys, n_tok). The token arrays never leave the JVM; assignments join
+  back by key. Arrow ships 3 scalar columns per item, not the corpus.
+* The parallel unit is the bucket. Packing is embarrassingly parallel
+  across buckets and sequential within one — callers bound bucket size
+  with ``salt_buckets`` (a deterministic xxhash64 salt composed into the
+  bucket key), trading a few partially-filled packs per extra bucket for
+  bounded per-task memory/time. With B buckets the pandas lane holds
+  O(items/B) rows of three scalars.
+* Chunking is one narrow projection + explode (whole-stage codegen);
+  stats are one hash aggregate with map-side partials.
+* Determinism: the walk order is (order_cols, chunk_idx) — an explicit
+  total order per bucket (CLAUDE.md order-discipline), so assignments are
+  reproducible under any input partitioning (pinned in pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+CHUNK_IDX = "chunk_idx"
+PACK_ID = "pack_id"
+
+
+def chunk_oversized(
+    df: DataFrame,
+    max_tokens: int,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Split docs longer than ``max_tokens`` into consecutive slices.
+
+    Adds ``chunk_idx`` (0-based position of the slice within its doc) and
+    rewrites ``tokens``/``n_tok`` to the slice. Docs that already fit —
+    including empty ones — pass through as their own chunk 0, so every
+    input row is represented (the word_shingles clamp philosophy: nothing
+    silently dropped). Pure slice/sequence/explode — zero UDF, map-side
+    only."""
+    n = F.size(tokens_col)
+    n_chunks = F.greatest(F.ceil(n / F.lit(max_tokens)).cast("int"), F.lit(1))
+    out = df.withColumn(CHUNK_IDX, F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    sliced = F.slice(
+        F.col(tokens_col), F.col(CHUNK_IDX) * max_tokens + 1, max_tokens
+    )
+    return out.withColumn(tokens_col, sliced).withColumn(
+        "n_tok", F.size(tokens_col).cast("int")
+    )
+
+
+def pack_assignments(
+    df: DataFrame,
+    max_tokens: int,
+    bucket_cols: tuple[str, ...] = ("source",),
+    order_cols: tuple[str, ...] = ("doc_id",),
+    size_col: str = "n_tok",
+) -> DataFrame:
+    """Greedy pack ids over a NARROW projection: returns exactly
+    (bucket_cols..., order_cols..., pack_id) — join it back to the full
+    frame by the order keys (``pack_tokenized`` does). Requires the order
+    keys to totally order each bucket (enforced: the walk sorts by them
+    stably, so a tie would make the assignment partition-dependent).
+
+    Items larger than ``max_tokens`` (callers should chunk first) each
+    occupy a pack of their own — the greedy rule degrades safely instead
+    of erroring."""
+    cols = [*bucket_cols, *order_cols, size_col]
+    narrow = df.select(*cols)
+    # build a FRESH StructType: StructType.add mutates in place, and
+    # df.schema hands back the plan's cached instance
+    out_schema = StructType(
+        list(narrow.schema.fields) + [StructField(PACK_ID, LongType(), False)]
+    )
+    order = list(order_cols)
+
+    def walk(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort", ignore_index=True)
+        run, pid, ids = 0, 0, []
+        for n in pdf[size_col]:
+            n = int(n)
+            if run > 0 and run + n > max_tokens:
+                pid += 1
+                run = 0
+            ids.append(pid)
+            run += n
+        pdf[PACK_ID] = ids
+        return pdf
+
+    return (
+        narrow.groupBy(*bucket_cols)
+        .applyInPandas(walk, schema=out_schema)
+        .drop(size_col)
+    )
+
+
+def pack_tokenized(
+    df: DataFrame,
+    max_tokens: int,
+    bucket_cols: tuple[str, ...] = ("source",),
+    order_cols: tuple[str, ...] = ("doc_id",),
+    salt_buckets: int | None = None,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """The pipeline verb: chunk oversized docs, assign greedy pack ids per
+    bucket, join the assignment back to the chunked frame. Output = the
+    chunked rows plus (``pack_id``, and ``_bucket_salt`` when salted);
+    (bucket_cols..., [_bucket_salt,] pack_id) identifies one training pack
+    whose token total is <= max_tokens.
+
+    ``salt_buckets`` bounds the sequential unit: the salt is a
+    deterministic xxhash64 of the first order key, so it neither breaks
+    reproducibility nor co-locates a skewed bucket (the synth corpus's
+    exponential source skew would otherwise serialize ~60% of items
+    through one task)."""
+    chunked = chunk_oversized(df, max_tokens, tokens_col)
+    buckets = list(bucket_cols)
+    if salt_buckets:
+        chunked = chunked.withColumn(
+            "_bucket_salt",
+            F.pmod(F.xxhash64(F.col(order_cols[0]).cast("string")), F.lit(salt_buckets)),
+        )
+        buckets = buckets + ["_bucket_salt"]
+    order = [*order_cols, CHUNK_IDX]
+    asg = pack_assignments(
+        chunked, max_tokens, tuple(buckets), tuple(order), "n_tok"
+    )
+    # equi-join on the total-order keys: both sides are the chunked grain,
+    # co-shuffled on the same keys — one exchange each, no skew (keys are
+    # unique by construction)
+    return chunked.join(asg, on=[*buckets, *order], how="inner")
+
+
+def pack_stats(
+    packed: DataFrame,
+    max_tokens: int,
+    bucket_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Per-pack fill metrics: one hash aggregate (map-side partials)."""
+    group = [c for c in (*bucket_cols, "_bucket_salt") if c in packed.columns]
+    return packed.groupBy(*group, PACK_ID).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.round(F.sum("n_tok") / F.lit(max_tokens), 6).alias("fill_ratio"),
+    )

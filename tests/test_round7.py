@@ -395,3 +395,102 @@ def test_ad_predictions_hash_split_oracle(spark):
     }
     assert all(re_u[s] == u for s, u in zip(hb["seq_id"], hb["u"]))
     assert all((u < 0.5) == bool(t) for u, t in zip(hb["u"], hb["hash_test"]))
+
+
+# ------------------------------------------------- sequence packing (r7b)
+
+def _py_greedy(sizes, max_tokens):
+    run, pid, ids = 0, 0, []
+    for n in sizes:
+        if run > 0 and run + n > max_tokens:
+            pid, run = pid + 1, 0
+        ids.append(pid)
+        run += n
+    return ids
+
+
+def test_chunk_oversized_reassembles(spark):
+    """Chunks sliced relationally must reassemble to the original tokens,
+    each chunk <= budget, empty docs kept as their own empty chunk."""
+    from sparklead.packing import chunk_oversized
+
+    rows = [
+        ("a", list(range(10))),
+        ("b", list(range(25))),   # 3 chunks at max 10
+        ("c", []),                # empty doc: one empty chunk
+        ("d", list(range(20))),   # exact multiple: 2 chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = chunk_oversized(df, 10).collect()
+    by_doc = {}
+    for r in out:
+        assert len(r["tokens"]) <= 10
+        assert r["n_tok"] == len(r["tokens"])
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["tokens"]))
+    reassembled = {
+        d: [t for _, chunk in sorted(cs) for t in chunk] for d, cs in by_doc.items()
+    }
+    assert reassembled == {d: toks for d, toks in rows}
+    assert len(by_doc["b"]) == 3 and len(by_doc["d"]) == 2 and len(by_doc["c"]) == 1
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+    st.integers(min_value=8, max_value=32),
+)
+def test_pack_greedy_matches_python_oracle(spark, sizes, max_tokens):
+    """pack_assignments must realize EXACTLY the sequential greedy walk —
+    recomputed from scratch in Python over the same order — for every
+    bucket, under a shuffled input partitioning."""
+    from sparklead.packing import pack_assignments
+
+    rows = [
+        (f"doc_{i:04d}", "s%d" % (i % 3), [0] * n, n) for i, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>, n_tok int"
+    ).repartition(7)
+    got = {
+        (r["source"], r["doc_id"]): r["pack_id"]
+        for r in pack_assignments(df, max_tokens).collect()
+    }
+    for src in {"s0", "s1", "s2"}:
+        docs = sorted((d, n) for d, s, _, n in rows if s == src)
+        expect = _py_greedy([min(n, 10**9) for _, n in docs], max_tokens)
+        assert [got[(src, d)] for d, _ in docs] == expect, (src, max_tokens)
+
+
+def test_pack_tokenized_invariants_and_salt(spark):
+    """End-to-end: every chunk lands in exactly one pack, every pack sum
+    <= budget, assignments are repartition-invariant, and the salt path
+    bounds the sequential unit while preserving the invariants."""
+    from sparklead.packing import pack_stats, pack_tokenized
+    from sparklead.synth import pretokenized
+
+    df = pretokenized(spark, 800, partitions=8)
+    n_chunks_expected = df.selectExpr(
+        "sum(greatest(cast(ceil(n_tok / 64.0) as int), 1)) as n"
+    ).first()["n"]
+
+    for salt in (None, 16):
+        packed = pack_tokenized(df, 64, salt_buckets=salt)
+        assert packed.count() == n_chunks_expected
+        stats = pack_stats(packed, 64)
+        bad = stats.filter(F.col("n_tokens") > 64).count()
+        assert bad == 0, f"overfull packs with salt={salt}"
+        # chunk identity: (doc_id, chunk_idx) unique across packs
+        assert (
+            packed.groupBy("doc_id", "chunk_idx").count().filter("count > 1").count()
+            == 0
+        )
+    # determinism: a different input partitioning yields the same assignment
+    a = {
+        (r["doc_id"], r["chunk_idx"]): (r["source"], r["pack_id"])
+        for r in pack_tokenized(df, 64).collect()
+    }
+    b = {
+        (r["doc_id"], r["chunk_idx"]): (r["source"], r["pack_id"])
+        for r in pack_tokenized(df.repartition(3), 64).collect()
+    }
+    assert a == b
