@@ -970,20 +970,20 @@ _REPORT_MODELS = ("THRP50", "THRP90")
 _REPORT_INPUTS = ("value", "logvalue")
 
 
-def _report_pivot_row(spark: SparkSession, ev: DataFrame, sf_dir: str) -> DataFrame:
-    """The SURVEY §2 #75 leg of auc_threshold (see its docstring): run the
-    4-config threshold-detector sweep, feed detectors.report
-    ResultsAggregator, materialize the store rows, return the mean/median
-    f1 pivots as ONE 1-row frame (8 columns, f1mean_/f1med_ per cell) —
-    computed by the CERTIFIED pandas pivot itself (report.py), which the
-    oracle recomputes in SQL from the raw confusion counts."""
-    import pandas as pd
-
+def _write_auc_report_evidence(spark: SparkSession, sf_dir: str) -> None:
+    """One-time (per sf_dir) evidence writer for the report-pivot leg —
+    factored out of _report_pivot_row (round-7 review fix) so
+    prepare_bench_inputs can fire it OUTSIDE any timed window: with the
+    guard inside the timed path, every fresh bench process charged the
+    4-config sweep + parquet write to one auc_threshold sample, and
+    tools/drift_ab.py (REPEATS=1, fresh process per alternation) read it
+    as a systematic phantom regression vs pre-pivot refs."""
     from sparklead.detectors.ad import confusion_metrics
     from sparklead.detectors.report import ResultsAggregator
 
     global _auc_report_written_for
     if _auc_report_written_for != sf_dir:
+        ev = _read(spark, sf_dir, "events")
         # thresholds: exact percentiles of each input column (one tiny agg)
         scored = ev.select(
             (F.col("event_type") == "error").cast("int").alias("label"),
@@ -1039,6 +1039,20 @@ def _report_pivot_row(spark: SparkSession, ev: DataFrame, sf_dir: str) -> DataFr
             AUC_REPORT_OUTPUT
         )
         _auc_report_written_for = sf_dir
+
+
+def _report_pivot_row(spark: SparkSession, ev: DataFrame, sf_dir: str) -> DataFrame:
+    """The SURVEY §2 #75 leg of auc_threshold (see its docstring): run the
+    4-config threshold-detector sweep, feed detectors.report
+    ResultsAggregator, materialize the store rows, return the mean/median
+    f1 pivots as ONE 1-row frame (8 columns, f1mean_/f1med_ per cell) —
+    computed by the CERTIFIED pandas pivot itself (report.py), which the
+    oracle recomputes in SQL from the raw confusion counts."""
+    import pandas as pd
+
+    from sparklead.detectors.report import ResultsAggregator
+
+    _write_auc_report_evidence(spark, sf_dir)
     # the certified driver-side report op: pandas pivot over the
     # materialized store rows (re-read, so both engines consume the same
     # bytes), flattened to one wide row
@@ -1263,6 +1277,23 @@ def _q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontam_eval_set(docs: DataFrame) -> DataFrame:
+    """The decontamination fixture's eval set, derived from the corpus
+    itself (fully SQL-replayable): docs with doc_id%23==0 verbatim, docs
+    with doc_id%23==7 as their first-half token prefix. ONE definition
+    (round-7 review fix) shared by the gated entry, the fast bench lane,
+    and tools/fan_ab.py — three hand-maintained copies could drift from
+    the DuckDB oracle string silently."""
+    w = F.split("text", " ")
+    return docs.filter(F.col("doc_id") % 23 == 0).select("text").unionByName(
+        docs.filter(F.col("doc_id") % 23 == 7).select(
+            F.array_join(
+                F.slice(w, 1, F.ceil(F.size(w) / 2).cast("int")), " "
+            ).alias("text")
+        )
+    )
+
+
 def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (decontam.ngram_containment — the one
     first-class LLM-pipeline op the round-6 verdict flagged as missing):
@@ -1277,14 +1308,7 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparklead.decontam import ngram_containment
 
     docs = _read(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    ev_full = docs.filter(F.col("doc_id") % 23 == 0).select("text")
-    ev_half = docs.filter(F.col("doc_id") % 23 == 7).select(
-        F.array_join(
-            F.slice(w, 1, F.ceil(F.size(w) / 2).cast("int")), " "
-        ).alias("text")
-    )
-    eval_set = ev_full.unionByName(ev_half)
+    eval_set = _decontam_eval_set(docs)
     out = ngram_containment(_fan(docs), eval_set, ngram_n=8)
     return out.select(
         "doc_id",
@@ -1311,14 +1335,7 @@ def _q_decontamination_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparklead.decontam import ngram_containment
 
     docs = _read(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    ev_full = docs.filter(F.col("doc_id") % 23 == 0).select("text")
-    ev_half = docs.filter(F.col("doc_id") % 23 == 7).select(
-        F.array_join(
-            F.slice(w, 1, F.ceil(F.size(w) / 2).cast("int")), " "
-        ).alias("text")
-    )
-    eval_set = ev_full.unionByName(ev_half)
+    eval_set = _decontam_eval_set(docs)
     out = ngram_containment(_fan(docs), eval_set, ngram_n=8, fast=True)
     return out.select(
         "doc_id",
@@ -1407,7 +1424,7 @@ def _write_neardup_bench_input(spark: SparkSession) -> None:
         _neardup_bench_written = True
 
 
-def prepare_bench_inputs(spark: SparkSession) -> None:
+def prepare_bench_inputs(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Fire the one-time bench-input writers OUTSIDE any timed window.
 
     The bench-only entries materialize their corpus to /tmp parquet on first
@@ -1419,6 +1436,11 @@ def prepare_bench_inputs(spark: SparkSession) -> None:
     _write_neardup_bench_input(spark)
     _write_drain_bench_input(spark)
     _write_packing_bench_input(spark)
+    if sf_dir is not None:
+        # the auc_threshold report-pivot evidence is sf_dir-keyed (round-7
+        # review fix: with this inside the timed path, every fresh bench
+        # process charged the sweep+write to one auc sample)
+        _write_auc_report_evidence(spark, sf_dir)
 
 
 def _q_neardup_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -117,7 +117,7 @@ def run_headline() -> dict:
     # fire the one-time bench-input writers (corpus -> /tmp parquet) before
     # any timed window: they used to execute eagerly inside repeat #1 of the
     # first entry that needed them, polluting one of its median samples
-    entrymod.prepare_bench_inputs(spark)
+    entrymod.prepare_bench_inputs(spark, sf_dir)
     for name in HEADLINE:
         fn = qs.get(name) or getattr(entrymod, f"_q_{name}")
         runs = []

@@ -10,7 +10,8 @@ contaminated when containment >= threshold (verbatim leakage -> 1.0,
 partial quote -> the quoted fraction). Documents shorter than ``ngram_n``
 tokens contribute their full token sequence as one gram (the
 ``word_shingles`` clamp), so short docs are matched whole, never silently
-skipped.
+skipped; NULL-text docs stay in the output with (n_ngrams=0, n_hit=0,
+containment=0.0) — clean by definition, and ``decontaminate`` keeps them.
 
 Design for 100 TB:
 * the corpus side is ONE scan: distinct-gram arrays per doc (narrow),
@@ -63,9 +64,22 @@ def ngram_containment(
     # hits with a left join (hint-free — see module docstring), count both in
     # the same per-doc aggregate. Map-side partials collapse the explode back
     # to one row per doc before the shuffle.
-    doc_grams = corpus.select(
-        F.col(key_col), grams(text_col, ngram_n).alias("_gs")
-    ).select(key_col, F.size("_gs").alias("_n"), F.explode("_gs").alias("g"))
+    # NULL-text normalization + explode_OUTER (round-7 review fix): a NULL
+    # text flows through the shingle HOFs as a single-NULL-gram array
+    # ([NULL], size 1), which would count one phantom gram in the
+    # denominator — while the DuckDB gate oracle counts 0 for such rows.
+    # Normalize to an EMPTY gram array (n_ngrams=0), and explode_outer so
+    # the doc stays in the output; the outer row's NULL gram matches
+    # nothing in the left join, so n_hit=0 and containment 0.0.
+    elem_t = "bigint" if fast else "string"
+    gs = F.when(
+        F.col(text_col).isNull(), F.expr(f"cast(array() as array<{elem_t}>)")
+    ).otherwise(grams(text_col, ngram_n))
+    doc_grams = corpus.select(F.col(key_col), gs.alias("_gs")).select(
+        key_col,
+        F.size("_gs").alias("_n"),
+        F.explode_outer("_gs").alias("g"),
+    )
     return (
         doc_grams.join(ev_grams, "g", "left")
         .groupBy(key_col)

@@ -494,3 +494,79 @@ def test_pack_tokenized_invariants_and_salt(spark):
         for r in pack_tokenized(df.repartition(3), 64).collect()
     }
     assert a == b
+
+
+def test_ngram_containment_null_text_kept(spark):
+    """Round-7 review fix: a NULL-text corpus doc must stay in the output
+    with (0, 0, 0.0) — a plain explode dropped it, diverging from the
+    DuckDB gate oracle and the no-doc-silently-skipped contract."""
+    from sparklead.decontam import decontaminate, ngram_containment
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([("alpha beta gamma delta",)], "text string")
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_hit"], r["containment"])
+        for r in ngram_containment(corpus, ev, ngram_n=3).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert got[1] == (0, 0, 0.0)
+    assert got[0][2] > 0.0
+    # decontaminate keeps the null-text doc (clean by definition)
+    kept = {r["doc_id"] for r in decontaminate(corpus, ev, ngram_n=3, threshold=0.5).collect()}
+    assert 1 in kept and 2 in kept and 0 not in kept
+
+
+def test_packing_greedy_contract_certified_by_duckdb(spark):
+    """Cross-engine certification of the packing kernel (round-7 review:
+    the operator has no free gate slot — exemption recorded in CLAUDE.md —
+    so the DuckDB cross-check runs here instead). Given the materialized
+    assignment, three window-SQL conditions pin the UNIQUE greedy
+    solution, no recursion needed:
+      (1) no pack's token sum exceeds the budget,
+      (2) pack ids per bucket start at 0 and step by 0 or 1 in walk order,
+      (3) every step to a new pack was FORCED: the previous pack's total
+          plus the stepping item's size exceeds the budget.
+    Any non-greedy assignment violates at least one."""
+    import duckdb
+
+    from sparklead.packing import pack_tokenized
+    from sparklead.synth import pretokenized
+
+    max_tokens = 64
+    df = pretokenized(spark, 600, partitions=8)
+    packed = (
+        pack_tokenized(df, max_tokens, salt_buckets=4)
+        .select("source", "_bucket_salt", "doc_id", "chunk_idx", "n_tok", "pack_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("packed", packed)
+    overfull, bad_step, unforced = con.execute(f"""
+        WITH totals AS (
+          SELECT source, _bucket_salt, pack_id, sum(n_tok) AS s
+          FROM packed GROUP BY 1, 2, 3
+        ), walk AS (
+          SELECT source, _bucket_salt, n_tok, pack_id,
+                 lag(pack_id) OVER w AS prev_pack
+          FROM packed
+          WINDOW w AS (PARTITION BY source, _bucket_salt
+                       ORDER BY doc_id, chunk_idx)
+        )
+        SELECT
+          (SELECT count(*) FROM totals WHERE s > {max_tokens}),
+          (SELECT count(*) FROM walk
+           WHERE CASE WHEN prev_pack IS NULL THEN pack_id <> 0
+                      ELSE pack_id - prev_pack NOT IN (0, 1) END),
+          (SELECT count(*) FROM walk v
+           JOIN totals t ON t.source = v.source
+                        AND t._bucket_salt = v._bucket_salt
+                        AND t.pack_id = v.prev_pack
+           WHERE v.pack_id = v.prev_pack + 1
+             AND t.s + v.n_tok <= {max_tokens})
+      """).fetchone()
+    assert overfull == 0, "a pack exceeds the budget"
+    assert bad_step == 0, "pack ids don't walk 0,+0/+1 per bucket"
+    assert unforced == 0, "a new pack was opened without being forced"

@@ -54,22 +54,12 @@ def main() -> None:
     def decontam(docs):
         # the A/B prepped frame is the CORPUS side (the side _fan targets);
         # the eval set always derives from a plain read — its grams collapse
-        # behind their own distinct exchange either way
+        # behind their own distinct exchange either way. ONE fixture
+        # definition, shared with the gated entry (round-7 review fix).
+        import __spark_entry__ as entrymod
         from sparklead.decontam import ngram_containment
 
-        plain = read("documents")
-        w = F.split("text", " ")
-        ev = (
-            plain.filter(F.col("doc_id") % 23 == 0)
-            .select("text")
-            .unionByName(
-                plain.filter(F.col("doc_id") % 23 == 7).select(
-                    F.array_join(
-                        F.slice(w, 1, F.ceil(F.size(w) / 2).cast("int")), " "
-                    ).alias("text")
-                )
-            )
-        )
+        ev = entrymod._decontam_eval_set(read("documents"))
         return ngram_containment(docs, ev, ngram_n=8, fast=True)
 
     cases = {
