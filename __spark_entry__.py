@@ -1510,6 +1510,28 @@ def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling over the north-rule input table
+    (bench-only, not gated — the md5 lane is value-pinned against BOTH a
+    from-scratch Python oracle and a full DuckDB window recompute in
+    tests/test_round7.py; exemption note in CLAUDE.md). Reuses the 200k
+    packing corpus; each source sampled to 25% of its tokens, so the line
+    tracks the full composition round-over-round: totals agg ->
+    distributed prefix sum on the narrow projection -> eager cutoff
+    collect -> broadcast-filter application -> kept stats."""
+    from sparklead.mixture import sample_to_token_budget
+
+    _write_packing_bench_input(spark)
+    df = spark.read.parquet(PACKING_BENCH_INPUT)
+    totals = df.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    budgets = {r["source"]: int(r["t"] * 0.25) for r in totals}
+    out = sample_to_token_budget(df, budgets)
+    return out.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_tok").cast("bigint").alias("kept_tokens"),
+    )
+
+
 def _q_drain_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase Drain mining on the synthetic corpus: template table.
 

@@ -45,6 +45,10 @@ HEADLINE = [
     # pytest): chunk -> greedy pack -> join-back -> fill stats over 200k
     # pretokenized docs — the training-batch construction step
     "sequence_packing",
+    # round-7 operator (bench-only; md5 lane Python- AND DuckDB-pinned in
+    # pytest): per-source token-budget sampling over the same 200k corpus
+    # — narrow prefix sum -> eager cutoffs -> broadcast-filter application
+    "mixture_sampling",
     # private entry fn — the one-call dedup composition (exact -> LSH ->
     # verify -> components -> keep) over the seeded-dup 20k corpus; added
     # round-6 (judge item #4) so stage-plan regressions show in BENCH_r{N}

@@ -130,6 +130,7 @@ def distributed_cumsum(
     out_column: str,
     num_partitions: int | None = None,
     persist_ranged: bool = True,
+    ranged_out: list | None = None,
 ) -> DataFrame:
     """Globally-ordered running sum WITHOUT a single-task global window —
     the classic two-phase distributed prefix sum:
@@ -157,11 +158,20 @@ def distributed_cumsum(
     frame for both subtrees (the same guard brain.py applies to its _rid).
     Pass ``persist_ranged=False`` only when the input lineage is
     deterministic (e.g. a sorted parquet scan) and memory is tight.
+
+    ``ranged_out``: optional caller-supplied list the persisted ranged
+    frame is appended to, so a caller that fully materializes the result
+    within its own call can unpersist it afterwards (mixture.py does —
+    its result is source-cardinality-sized, so nothing needs the cache
+    once the cutoffs are collected). Without it the cache lives until
+    clearCache, the historical behavior item_cumsum callers rely on.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     d = df.repartitionByRange(n, *order_cols).withColumn("_pid", F.spark_partition_id())
     if persist_ranged:
         d = d.persist()
+        if ranged_out is not None:
+            ranged_out.append(d)
     local_w = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -1,0 +1,172 @@
+"""Token-budget mixture sampling: deterministically downsample a corpus so
+each source contributes at most a target number of TOKENS — the mixture-
+construction step of an LLM data pipeline, sitting between hygiene
+(dedup.py / decontam.py) and batch construction (packing.py) on the same
+north-rule input table (doc_id, tokens, n_tok, source). Reference scope:
+the LogLead reference has no mixture operator — this extends the repo's
+first-class LLM-pipeline surface per the brief's training-data axis.
+
+Semantics (hash-ordered prefix sampling, the standard unbiased recipe):
+order each source's docs by a seeded hash of the key (a deterministic
+random permutation), take the prefix while the running token total stays
+<= the source's budget, stop at the first doc that crosses it. Docs are
+never split; the sample undershoots the budget by at most one document.
+Sources absent from ``budgets`` are dropped (explicit is better than a
+silent pass-through); budget 0 keeps only leading zero-token docs (they
+cost nothing); budget >= the source total keeps the source whole.
+
+Design for 100 TB:
+* The decision runs over a NARROW projection (key, source, n_tok) — the
+  token payload NEVER shuffles. Per-source running totals go through
+  ``distributed_cumsum`` (the two-phase prefix sum, eventlog.py): a
+  plain ``Window.partitionBy(source)`` would serialize each source into
+  ONE task, and real mixtures are exponentially source-skewed (the synth
+  corpus models exactly that). One ranged exchange of three scalar
+  columns is the op's entire shuffle footprint.
+* The per-source result collapses to a CUTOFF TABLE — (source, cut_ord,
+  cut_key), source-cardinality-sized — materialized eagerly inside
+  ``token_budget_cutoffs`` (the miners' template-sized-collect pattern),
+  which lets the prefix-sum's internal cache be released before the call
+  returns (``ranged_out``; nothing persisted outlives the call). The
+  sample itself is then ``corpus JOIN broadcast(cutoffs) WHERE hash <=
+  cutoff`` — a broadcast filter, ZERO payload shuffle, re-runnable
+  against the corpus any number of times without recomputing the sum.
+* Two lanes, the minhash/lang_quality twin pattern: the default md5
+  order is engine-portable (DuckDB recomputes the full order + window in
+  tests/test_round7.py), the ``fast=True`` production lane orders by
+  xxhash64 — 8-byte keys through the ranged exchange instead of 32-char
+  hex strings. The lanes draw different (equally valid) permutations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparklead.enhancers.eventlog import distributed_cumsum
+
+BUDGET_COL = "token_budget"
+
+
+def _order_expr(key_col: str, seed: int, fast: bool):
+    """The seeded permutation key — a pure function of the doc key, so the
+    narrow lane and the final broadcast filter compute identical values.
+    md5 lane: md5(key || ':' || seed), lowercase hex in Spark AND DuckDB
+    (lexicographic order matches byte order — the cross-engine contract
+    tests/test_round7.py certifies)."""
+    if fast:
+        return F.xxhash64(F.col(key_col), F.lit(seed))
+    return F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}")))
+
+
+def _budgets_df(docs: DataFrame, budgets, source_col: str) -> DataFrame:
+    if isinstance(budgets, DataFrame):
+        return budgets.select(source_col, F.col(BUDGET_COL).cast("long"))
+    return docs.sparkSession.createDataFrame(
+        [(str(k), int(v)) for k, v in budgets.items()],
+        f"{source_col} string, {BUDGET_COL} long",
+    )
+
+
+def token_budget_cutoffs(
+    docs: DataFrame,
+    budgets,
+    size_col: str = "n_tok",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    fast: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-source sampling cutoffs: (source, cut_ord, cut_key, kept_docs,
+    kept_tokens, token_budget). EAGER — source-cardinality-sized, the
+    heavy prefix sum runs HERE exactly once and its cache is released
+    before returning; sources whose budget admits no doc are absent.
+
+    ``budgets``: a {source: max_tokens} dict or a (source, token_budget)
+    DataFrame (small by contract — it is broadcast)."""
+    spark = docs.sparkSession
+    narrow = docs.select(
+        F.col(key_col),
+        F.col(source_col),
+        F.col(size_col).cast("long").alias("_sz"),
+    ).withColumn("_ord", _order_expr(key_col, seed, fast))
+    # global two-phase prefix sum over the composite (source, perm) order,
+    # then subtract each source's exclusive predecessor total (a
+    # source-cardinality aggregate — the tiny fold, same scale class as
+    # distributed_cumsum's own _pid offsets) to get per-source run totals
+    # without a per-source single-task window.
+    holder: list = []
+    g = distributed_cumsum(
+        narrow,
+        F.col("_sz"),
+        [F.col(source_col), F.col("_ord"), F.col(key_col)],
+        "_gcum",
+        num_partitions=num_partitions,
+        ranged_out=holder,
+    )
+    from pyspark.sql import Window
+
+    off_w = Window.orderBy(source_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        narrow.groupBy(source_col)
+        .agg(F.sum("_sz").alias("_t"))
+        .select(
+            source_col,
+            F.coalesce(F.sum("_t").over(off_w), F.lit(0)).alias("_soff"),
+        )
+    )
+    kept = (
+        g.join(F.broadcast(offsets), source_col)
+        .withColumn("_cum", F.col("_gcum") - F.col("_soff"))
+        .join(F.broadcast(_budgets_df(docs, budgets, source_col)), source_col)
+        .filter(F.col("_cum") <= F.col(BUDGET_COL))
+    )
+    cutoffs = (
+        kept.groupBy(source_col, BUDGET_COL)
+        .agg(
+            F.max(F.struct("_ord", key_col)).alias("_cut"),
+            F.count("*").alias("kept_docs"),
+            F.sum("_sz").alias("kept_tokens"),
+        )
+        .select(
+            source_col,
+            F.col("_cut._ord").alias("cut_ord"),
+            F.col(f"_cut.{key_col}").alias("cut_key"),
+            "kept_docs",
+            "kept_tokens",
+            BUDGET_COL,
+        )
+    )
+    rows = cutoffs.collect()
+    for f in holder:
+        f.unpersist()
+    return spark.createDataFrame(rows, cutoffs.schema)
+
+
+def sample_to_token_budget(
+    docs: DataFrame,
+    budgets,
+    size_col: str = "n_tok",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    fast: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The pipeline verb: the sampled corpus, all original columns. One
+    eager narrow prefix sum (see ``token_budget_cutoffs``), then a
+    broadcast cutoff filter — the payload never shuffles, and re-reading
+    the returned frame re-runs only the filter."""
+    cuts = token_budget_cutoffs(
+        docs, budgets, size_col, source_col, key_col, seed, fast, num_partitions
+    ).select(source_col, "cut_ord", "cut_key")
+    ord_e = _order_expr(key_col, seed, fast)
+    return (
+        docs.join(F.broadcast(cuts), source_col)
+        .filter(
+            (ord_e < F.col("cut_ord"))
+            | ((ord_e == F.col("cut_ord")) & (F.col(key_col) <= F.col("cut_key")))
+        )
+        .drop("cut_ord", "cut_key")
+    )

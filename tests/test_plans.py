@@ -135,3 +135,22 @@ def test_minhash_fast_lane_is_codegen_aggregate(spark, sf_dir):
     # the only lambda work left in the fast lane is the cheap 16-element
     # band split; the signature fold itself must not be a HOF aggregate
     assert "aggregate(lambdafunction" not in cand_plan.lower().replace(" ", "")
+
+
+def test_mixture_sample_application_no_payload_shuffle(spark):
+    """sample_to_token_budget's RETURNED frame (mixture.py) must be a pure
+    broadcast filter over the corpus: the heavy prefix sum already ran
+    eagerly inside token_budget_cutoffs, so the application plan carries
+    ZERO shuffle exchanges — the token payload never moves — and exactly
+    one BroadcastExchange (the source-sized cutoff table). At 100 TB this
+    is the difference between a metadata-priced filter and re-shuffling
+    the corpus."""
+    docs = synth.pretokenized(spark, 2000, partitions=4)
+    from sparklead.mixture import sample_to_token_budget
+
+    s = sample_to_token_budget(docs, {"src0": 5000, "src1": 2000})
+    p = _physical(s)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    shuffles = re.findall(r"Exchange (?!.*Broadcast)\S*partitioning", p)
+    assert shuffles == [], shuffles

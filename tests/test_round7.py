@@ -570,3 +570,149 @@ def test_packing_greedy_contract_certified_by_duckdb(spark):
     assert overfull == 0, "a pack exceeds the budget"
     assert bad_step == 0, "pack ids don't walk 0,+0/+1 per bucket"
     assert unforced == 0, "a new pack was opened without being forced"
+
+
+# ---------------------------------------------------------------- mixture
+
+
+def _mixture_fixture(spark, n=3000):
+    """Synth corpus + a budget dict exercising every contract branch:
+    ~40% partial budget, 0 budget, over-total budget, and sources MISSING
+    from the dict entirely (dropped by contract)."""
+    from sparklead.synth import pretokenized
+
+    docs = pretokenized(spark, n, partitions=5)
+    totals = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    srcs = sorted(totals)
+    budgets = {
+        srcs[0]: int(totals[srcs[0]] * 0.4),
+        srcs[1]: 0,
+        srcs[2]: int(totals[srcs[2]] * 2),
+    }
+    return docs, totals, budgets
+
+
+def test_mixture_sampling_matches_python_oracle(spark):
+    """Full value-level oracle for the md5 lane: a from-scratch Python
+    recompute (hashlib md5 over the same seeded key string, per-source
+    hash-order walk, keep while the inclusive running total stays within
+    budget) must agree doc-for-doc."""
+    import hashlib
+
+    from sparklead.mixture import sample_to_token_budget, token_budget_cutoffs
+
+    docs, totals, budgets = _mixture_fixture(spark)
+    rows = docs.select("doc_id", "source", "n_tok").collect()
+    expected = set()
+    exp_tokens = {}
+    for src, budget in budgets.items():
+        walk = sorted(
+            (r for r in rows if r["source"] == src),
+            key=lambda r: (
+                hashlib.md5(f"{r['doc_id']}:0".encode()).hexdigest(),
+                r["doc_id"],
+            ),
+        )
+        cum = 0
+        for r in walk:
+            cum += r["n_tok"]
+            if cum > budget:
+                break
+            expected.add(r["doc_id"])
+            exp_tokens[src] = exp_tokens.get(src, 0) + r["n_tok"]
+    got = sample_to_token_budget(docs, budgets, fast=False)
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == expected
+    # the partial-budget source actually sampled (fixture sanity)
+    assert 0 < len(expected) < len(rows)
+    cuts = {
+        r["source"]: r
+        for r in token_budget_cutoffs(docs, budgets, fast=False).collect()
+    }
+    assert {s: c["kept_tokens"] for s, c in cuts.items()} == exp_tokens
+    for s, c in cuts.items():
+        assert c["kept_tokens"] <= budgets[s]
+
+
+def test_mixture_sampling_duckdb_certified(spark):
+    """Cross-engine certification of the md5 lane (packing-test pattern —
+    the gate is at its 50-entry cap, exemption in CLAUDE.md): DuckDB
+    recomputes the ENTIRE operator — md5 permutation order, per-source
+    window running total, budget filter — from the raw narrow projection
+    and must select the identical doc set."""
+    import duckdb
+
+    from sparklead.mixture import sample_to_token_budget
+
+    docs, _, budgets = _mixture_fixture(spark)
+    narrow = docs.select("doc_id", "source", "n_tok").toPandas()
+    import pandas as pd
+
+    bud = pd.DataFrame(
+        {"source": list(budgets), "token_budget": list(budgets.values())}
+    )
+    con = duckdb.connect()
+    con.register("narrow", narrow)
+    con.register("budgets", bud)
+    oracle = {
+        r[0]
+        for r in con.execute("""
+            WITH c AS (
+              SELECT doc_id, source, n_tok,
+                     sum(n_tok) OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id || ':0'), doc_id) AS cum
+              FROM narrow)
+            SELECT c.doc_id FROM c
+            JOIN budgets b USING (source)
+            WHERE c.cum <= b.token_budget
+        """).fetchall()
+    }
+    got = {
+        r["doc_id"]
+        for r in sample_to_token_budget(docs, budgets, fast=False)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == oracle and len(oracle) > 0
+
+
+def test_mixture_sampling_fast_lane_invariants(spark):
+    """Production (xxhash64) lane: partition invariance, budget-respecting
+    per-source token totals, 0-budget/missing-source drops, prefix
+    monotonicity (a bigger budget keeps a superset), budgets-as-DataFrame
+    parity, and no persisted state outliving the call."""
+    from sparklead.mixture import sample_to_token_budget, token_budget_cutoffs
+
+    spark.catalog.clearCache()
+    docs, totals, budgets = _mixture_fixture(spark)
+    srcs = sorted(totals)
+    kept = sample_to_token_budget(docs.repartition(3), budgets).collect()
+    kept_b = sample_to_token_budget(docs.repartition(8), budgets).collect()
+    assert {r["doc_id"] for r in kept} == {r["doc_id"] for r in kept_b}
+    by_src = {}
+    for r in kept:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + r["n_tok"]
+    assert by_src.get(srcs[1], 0) == 0  # 0-budget source dropped
+    for s in srcs[3:]:
+        assert s not in by_src  # missing from budgets -> dropped
+    assert by_src[srcs[0]] <= budgets[srcs[0]]
+    assert by_src[srcs[2]] == totals[srcs[2]]  # over-total budget -> whole
+    # prefix monotonicity: doubling srcs[0]'s budget keeps a superset
+    bigger = dict(budgets, **{srcs[0]: budgets[srcs[0]] * 2})
+    kept_big = {
+        r["doc_id"] for r in sample_to_token_budget(docs, bigger).collect()
+    }
+    assert {r["doc_id"] for r in kept}.issubset(kept_big)
+    # budgets as a DataFrame instead of a dict: identical cutoffs
+    bud_df = spark.createDataFrame(
+        [(k, v) for k, v in budgets.items()], "source string, token_budget long"
+    )
+    a = {tuple(r) for r in token_budget_cutoffs(docs, budgets).collect()}
+    b = {tuple(r) for r in token_budget_cutoffs(docs, bud_df).collect()}
+    assert a == b
+    # the eager cutoffs released the prefix-sum cache (CLAUDE.md contract)
+    sc = spark.sparkContext
+    assert len(sc._jsc.getPersistentRDDs()) == 0
