@@ -60,8 +60,20 @@ def _order_expr(key_col: str, seed: int, fast: bool):
 
 
 def _budgets_df(docs: DataFrame, budgets, source_col: str) -> DataFrame:
+    """Normalize + VALIDATE budgets (small by contract, so the DataFrame
+    branch is collected driver-side): a duplicate source row would
+    silently double every kept doc of that source through the two inner
+    joins — fail loudly instead, and before anything is persisted."""
     if isinstance(budgets, DataFrame):
-        return budgets.select(source_col, F.col(BUDGET_COL).cast("long"))
+        rows = budgets.select(source_col, F.col(BUDGET_COL).cast("long")).collect()
+        seen: dict = {}
+        for r in rows:
+            if r[source_col] in seen:
+                raise ValueError(
+                    f"duplicate {BUDGET_COL} row for source {r[source_col]!r}"
+                )
+            seen[r[source_col]] = r[BUDGET_COL]
+        budgets = seen
     return docs.sparkSession.createDataFrame(
         [(str(k), int(v)) for k, v in budgets.items()],
         f"{source_col} string, {BUDGET_COL} long",
@@ -86,6 +98,7 @@ def token_budget_cutoffs(
     ``budgets``: a {source: max_tokens} dict or a (source, token_budget)
     DataFrame (small by contract — it is broadcast)."""
     spark = docs.sparkSession
+    bud = _budgets_df(docs, budgets, source_col)  # validates BEFORE any persist
     narrow = docs.select(
         F.col(key_col),
         F.col(source_col),
@@ -107,9 +120,17 @@ def token_budget_cutoffs(
     )
     from pyspark.sql import Window
 
+    # per-source totals read the PERSISTED ranged frame, not a fresh
+    # narrow re-evaluation (round-7 review fix): one corpus scan per call
+    # instead of two, and the offsets subtree consumes the same pinned
+    # materialization the cumsum does — a fresh re-evaluation over a
+    # nondeterministic upstream lineage could disagree with the _gcum it
+    # is subtracted from (the exact double-evaluation hazard
+    # distributed_cumsum's persist exists to prevent, eventlog.py).
+    totals_src = holder[0] if holder else narrow
     off_w = Window.orderBy(source_col).rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        narrow.groupBy(source_col)
+        totals_src.groupBy(source_col)
         .agg(F.sum("_sz").alias("_t"))
         .select(
             source_col,
@@ -119,7 +140,7 @@ def token_budget_cutoffs(
     kept = (
         g.join(F.broadcast(offsets), source_col)
         .withColumn("_cum", F.col("_gcum") - F.col("_soff"))
-        .join(F.broadcast(_budgets_df(docs, budgets, source_col)), source_col)
+        .join(F.broadcast(bud), source_col)
         .filter(F.col("_cum") <= F.col(BUDGET_COL))
     )
     cutoffs = (
@@ -138,9 +159,13 @@ def token_budget_cutoffs(
             BUDGET_COL,
         )
     )
-    rows = cutoffs.collect()
-    for f in holder:
-        f.unpersist()
+    try:
+        rows = cutoffs.collect()
+    finally:
+        # release even when the collect fails mid-flight (executor OOM,
+        # interrupt) — no persisted state may outlive the call either way
+        for f in holder:
+            f.unpersist()
     return spark.createDataFrame(rows, cutoffs.schema)
 
 

@@ -152,5 +152,8 @@ def test_mixture_sample_application_no_payload_shuffle(spark):
     p = _physical(s)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
-    shuffles = re.findall(r"Exchange (?!.*Broadcast)\S*partitioning", p)
+    # any non-broadcast Exchange — including `Exchange SinglePartition`,
+    # the global-window serialization this operator exists to avoid (the
+    # earlier `\S*partitioning` regex could not catch it: round-7 review)
+    shuffles = re.findall(r"(?<!Broadcast)(?<!Reused)Exchange\b[^\n]*", p)
     assert shuffles == [], shuffles

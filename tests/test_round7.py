@@ -716,3 +716,22 @@ def test_mixture_sampling_fast_lane_invariants(spark):
     # the eager cutoffs released the prefix-sum cache (CLAUDE.md contract)
     sc = spark.sparkContext
     assert len(sc._jsc.getPersistentRDDs()) == 0
+
+
+def test_mixture_duplicate_budget_rows_rejected(spark):
+    """Round-7 review fix: a budgets DataFrame with two rows for one
+    source would silently duplicate every kept doc of that source through
+    the inner joins — it must raise instead, BEFORE anything is persisted
+    (pinned: no cache entry survives the raise)."""
+    from sparklead.mixture import token_budget_cutoffs
+    from sparklead.synth import pretokenized
+
+    spark.catalog.clearCache()
+    docs = pretokenized(spark, 200, partitions=2)
+    bad = spark.createDataFrame(
+        [("src0", 100), ("src0", 200), ("src1", 50)],
+        "source string, token_budget long",
+    )
+    with pytest.raises(ValueError, match="duplicate.*src0"):
+        token_budget_cutoffs(docs, bad)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
