@@ -101,10 +101,19 @@ def contaminated_docs(
     eval_text_col: str | None = None,
     ngram_n: int = 13,
     threshold: float = 0.8,
-    fast: bool = False,
+    fast: bool = True,
 ) -> DataFrame:
     """Corpus rows whose eval-set containment >= threshold, with the
-    (n_ngrams, n_hit, containment) evidence columns appended."""
+    (n_ngrams, n_hit, containment) evidence columns appended.
+
+    ``fast`` defaults True to MATCH ``decontaminate`` (round-7 advisor):
+    with differing defaults the audit set and the dropped set were
+    computed by different gram-hash lanes and were exact complements only
+    up to ~2^-64 collision odds; now, with defaults, ``contaminated_docs``
+    ∪ ``decontaminate`` is the corpus EXACTLY (pinned in
+    tests/test_round8.py). ``ngram_containment``'s own default stays
+    fast=False on purpose — it is the engine-portable evidence lane the
+    DuckDB gate oracle replays value-for-value."""
     stats = ngram_containment(
         corpus, eval_set, text_col, key_col, eval_text_col, ngram_n, fast
     ).filter(F.col("containment") >= threshold)

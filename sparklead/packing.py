@@ -47,6 +47,7 @@ def chunk_oversized(
     df: DataFrame,
     max_tokens: int,
     tokens_col: str = "tokens",
+    size_col: str = "n_tok",
 ) -> DataFrame:
     """Split docs longer than ``max_tokens`` into consecutive slices.
 
@@ -55,15 +56,50 @@ def chunk_oversized(
     including empty ones — pass through as their own chunk 0, so every
     input row is represented (the word_shingles clamp philosophy: nothing
     silently dropped). Pure slice/sequence/explode — zero UDF, map-side
-    only."""
-    n = F.size(tokens_col)
+    only.
+
+    TOKEN-FREE SIZE DERIVATION (round-8): per-chunk sizes are pure
+    arithmetic on the PRE-CHUNK size scalar —
+    ``least(max_tokens, n − chunk_idx·max_tokens)`` — never ``F.size``
+    over the sliced array. A downstream narrow projection that selects
+    only scalars (``pack_assignments``' decision lane) therefore carries
+    no expression rooted in ``tokens_col``, and Catalyst prunes the token
+    payload from that branch's scan entirely: at 100 TB the assignment
+    branch reads a few GB of size scalars instead of re-scanning the
+    corpus (round-7 verdict finding #1; plan-pinned in
+    tests/test_round8.py). When ``size_col`` exists it is the size source
+    (the north-rule invariant ``n_tok == size(tokens)``, FIXTURES.md #2);
+    otherwise falls back to ``size(tokens)``, which re-ties the decision
+    lane to the payload — callers at scale should carry the scalar.
+
+    NULL/garbage normalization (round-7 advisor): a NULL tokens array or
+    NULL/negative size chunks as an EMPTY chunk 0 (n_tok 0) instead of
+    shipping NaN/-1 into the grouped-pandas walk, where it raised an
+    opaque Arrow-side ValueError or silently shrank a pack total."""
+    tok_t = df.schema[tokens_col].dataType
+    empty = F.array().cast(tok_t)
+    if size_col in df.columns:
+        n_expr = F.greatest(F.coalesce(F.col(size_col).cast("long"), F.lit(0)), F.lit(0))
+    else:
+        n_expr = F.size(F.coalesce(F.col(tokens_col), empty)).cast("long")
+    # stage the PRE-chunk size once: the chunk-size arithmetic below must
+    # see the original doc size, not the post-slice array (the fallback
+    # n_expr roots in tokens_col, which the slice withColumn replaces)
+    n = F.col("_pre_n")
     n_chunks = F.greatest(F.ceil(n / F.lit(max_tokens)).cast("int"), F.lit(1))
-    out = df.withColumn(CHUNK_IDX, F.explode(F.sequence(F.lit(0), n_chunks - 1)))
-    sliced = F.slice(
-        F.col(tokens_col), F.col(CHUNK_IDX) * max_tokens + 1, max_tokens
+    out = df.withColumn("_pre_n", n_expr).withColumn(
+        CHUNK_IDX, F.explode(F.sequence(F.lit(0), n_chunks - 1))
     )
-    return out.withColumn(tokens_col, sliced).withColumn(
-        "n_tok", F.size(tokens_col).cast("int")
+    sliced = F.slice(
+        F.coalesce(F.col(tokens_col), empty),
+        F.col(CHUNK_IDX) * max_tokens + 1,
+        max_tokens,
+    )
+    chunk_n = F.least(F.lit(max_tokens).cast("long"), n - F.col(CHUNK_IDX) * F.lit(max_tokens))
+    return (
+        out.withColumn(tokens_col, sliced)
+        .withColumn("n_tok", chunk_n.cast("int"))
+        .drop("_pre_n")
     )
 
 
@@ -130,7 +166,20 @@ def pack_tokenized(
     deterministic xxhash64 of the first order key, so it neither breaks
     reproducibility nor co-locates a skewed bucket (the synth corpus's
     exponential source skew would otherwise serialize ~60% of items
-    through one task)."""
+    through one task).
+
+    DELIBERATE TWO-EVALUATION TRADE (the ``jaccard_verify`` convention,
+    round-7 advisor): the join-back references the chunked explode subplan
+    on BOTH sides, and exchange reuse does not dedup it (measured —
+    tools/probe_reuse.py), so materializing the result evaluates the
+    scan+chunk explode twice. This is chosen over persisting the chunked
+    frame because that cache would be CORPUS-sized (the payload columns),
+    while the second evaluation's extra cost is one more pass of a narrow
+    scalar branch on the assignment side — since round-8 the decision
+    lane's scan prunes the token column entirely (see ``chunk_oversized``),
+    so the duplicated work is a scalar scan + explode, not a second
+    payload read. Callers who only need fill statistics should aggregate
+    ``pack_assignments`` output directly and skip the join-back."""
     chunked = chunk_oversized(df, max_tokens, tokens_col)
     buckets = list(bucket_cols)
     if salt_buckets:

@@ -115,6 +115,112 @@ def text_features(df: DataFrame, text_col: str = "text", fast_fingerprint: bool 
     return out.drop("_ws_lower") if added else out
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    line_sep: str = "\n",
+    para_sep: str = "\n\n",
+) -> DataFrame:
+    """Gopher/C4-style repetition & boilerplate filters per document
+    (Rae et al. 2021 §A1.1 repetition signals; reference scope: the
+    LogLead reference has no corpus-hygiene operators — this extends the
+    repo's LLM-pipeline surface next to decontam.py). Returns a frame
+    joinable on ``key_col``:
+
+    * ``n_lines`` / ``n_dup_lines`` / ``dup_line_frac`` — line occurrences
+      that repeat an earlier identical line (count-based: (n − distinct)/n)
+    * ``n_paras`` / ``n_dup_paras`` / ``dup_para_frac`` — same over
+      ``para_sep`` blocks
+    * per n in ``top_ns``: ``top{n}_gram`` (the most frequent word n-gram,
+      ties broken by the lexicographically LARGEST gram so the pick is
+      deterministic), ``top{n}_count`` (its occurrence count, 0 when the
+      doc has fewer than n words), ``top{n}_mass`` (the Gopher signal:
+      occurrences × gram character length / doc character length)
+
+    Design for 100 TB: line/paragraph stats are pure in-row list ops
+    (whole-stage codegen, zero shuffle). Top-gram stats explode ONE tagged
+    (n, gram) stream and aggregate twice on doc-rooted keys —
+    (key, n, gram) counts with map-side partials, then a per-(key, n)
+    max(struct(count, gram)) — both linear, both partial-aggregated; no
+    per-doc quadratic HOF scans (a filter-count-per-distinct-gram form is
+    O(len²) per doc and Gopher docs run to 20k words). NULL text is
+    treated as empty (kept, all-zero stats — the decontam convention).
+    The word split is ``\\s+`` with empties filtered (whitespace_tokens),
+    so the gram stream is consistent with the rest of this module."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, line_sep)
+    paras = F.split(t, para_sep)
+    base = df.select(
+        F.col(key_col),
+        F.length(t).alias("_tc"),
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines))).alias("n_dup_lines"),
+        F.size(paras).alias("n_paras"),
+        (F.size(paras) - F.size(F.array_distinct(paras))).alias("n_dup_paras"),
+        whitespace_tokens(t).alias("_rw"),
+    )
+    w = F.col("_rw")
+    # one tagged gram stream for every n: (n, gram) structs; docs shorter
+    # than n contribute NO n-gram (count 0 downstream — the Gopher
+    # semantics; the word_shingles whole-doc clamp would make a short doc
+    # its own "top gram" with count 1, a meaningless repetition signal)
+    def _gram_maker(n: int):
+        # single-parameter lambda on purpose: a two-parameter lambda is
+        # F.transform's (element, index) form, and the index would shadow
+        # any closure/default binding of n
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.array_join(F.slice(w, i, n), " ").alias("g"),
+        )
+
+    per_n = [
+        F.when(
+            F.size(w) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)), _gram_maker(n)),
+        ).otherwise(F.expr("array()").cast("array<struct<n:int,g:string>>"))
+        for n in top_ns
+    ]
+    ex = base.select(key_col, F.explode(F.flatten(F.array(*per_n))).alias("ng"))
+    counts = ex.groupBy(key_col, F.col("ng.n").alias("_n"), F.col("ng.g").alias("_g")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tops = counts.groupBy(key_col, "_n").agg(
+        F.max(F.struct(F.col("_c").alias("c"), F.col("_g").alias("g"))).alias("_top")
+    )
+    wide = tops.groupBy(key_col).agg(
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_top"))).alias(f"_t{n}")
+            for n in top_ns
+        ]
+    )
+    out = base.drop("_rw").join(wide, key_col, "left")
+    denom = F.greatest(F.col("_tc"), F.lit(1)).cast("double")
+    for n in top_ns:
+        tn = F.col(f"_t{n}")
+        out = (
+            out.withColumn(f"top{n}_gram", tn["g"])
+            .withColumn(f"top{n}_count", F.coalesce(tn["c"], F.lit(0)))
+            .withColumn(
+                f"top{n}_mass",
+                F.coalesce(tn["c"] * F.length(tn["g"]) / denom, F.lit(0.0)),
+            )
+            .drop(f"_t{n}")
+        )
+    return (
+        out.withColumn(
+            "dup_line_frac",
+            F.col("n_dup_lines") / F.greatest("n_lines", F.lit(1)).cast("double"),
+        )
+        .withColumn(
+            "dup_para_frac",
+            F.col("n_dup_paras") / F.greatest("n_paras", F.lit(1)).cast("double"),
+        )
+        .drop("_tc")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 8, keep: int = 4) -> DataFrame:
     """Winnowing-style document fingerprint: the ``keep`` smallest md5 hashes
     over char k-gram shingles, concatenated. Near-identical docs share it.
