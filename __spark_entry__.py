@@ -120,10 +120,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_fill_flags": _q_window_fill_flags,
         "topk_per_group": _q_topk_per_group,
         # ---- §2.2 projections / predicates / scalar fns
+        # round-8 gate-slot consolidation (the round-7 verdict's #1 ask):
+        # epoch_decode merged into regex_json_extract (same events table,
+        # same per-event grain) and whitespace_squeeze into
+        # doc_text_profile (same documents table, same per-doc grain) —
+        # funding gate slots for sequence_packing + mixture_sampling
         "field_split": _q_field_split,
         "regex_json_extract": _q_regex_json_extract,
-        "epoch_decode": _q_epoch_decode,
-        "whitespace_squeeze": _q_whitespace_squeeze,
         "conditional_median": _q_conditional_median,
         # ---- §2.1 loaders (literal-row demos, oracled via VALUES)
         "bgl_load": _q_bgl_load,
@@ -154,6 +157,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn_cosine,
         "embedding_mean_by_label": _q_embedding_mean_by_label,
         "decontamination": _q_decontamination,
+        # round-8 graduations (round-7 verdict #1): the LLM-pipeline trio's
+        # two pytest-exempt operators now ride the hard gate — DuckDB
+        # recomputes packing's greedy walk via a RECURSIVE CTE and
+        # mixture's md5-permutation window from scratch; the 200k-corpus
+        # compositions stay separate bench lines (*_200k)
+        "sequence_packing": _q_sequence_packing,
+        "mixture_sampling": _q_mixture_sampling,
         # ---- TPC-H-style classics (scan pushdown / partial agg / join order)
         "tpch_q1_pricing": _q_tpch_q1,
         "tpch_join_enrich": _q_tpch_join,
@@ -397,34 +407,21 @@ def _q_field_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_regex_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """regexp_extract + masking regexp_replace (hdfs.py:33,
     eventlog.py:403-429) + from_json struct decode (nezha.py:280-305,
-    gelf.py:16-17) — three scalar extract operators, one frame."""
+    gelf.py:16-17) — three scalar extract operators, one frame. Since
+    round 8 ALSO carries the former ``epoch_decode`` entry's columns
+    (epoch round-trip bgl.py:20/supercomputers.py:27 + hour truncation):
+    same table, same per-event grain, one scan — the gate-slot merge that
+    funds the ``mixture_sampling`` entry (50-cap; COVERAGE.md maps both
+    operator families here)."""
     ev = _read(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.regexp_extract("props", r'"k": (\d+)', 1).alias("k_str"),
         F.regexp_replace("props", r"\d+", "<NUM>").alias("props_masked"),
         F.from_json("props", "k int").getField("k").alias("k"),
-    )
-
-
-def _q_epoch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Epoch encode/decode round-trip (bgl.py:20, supercomputers.py:27)
-    + hour truncation bucket (timestamp scalar surface)."""
-    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 500)
-    return ev.select(
-        "event_id",
         F.unix_timestamp("ts").alias("epoch_s"),
         F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts_roundtrip"),
         F.date_trunc("hour", "ts").alias("hour_bucket"),
-    )
-
-
-def _q_whitespace_squeeze(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace squeeze + strip (pro.py:40-43, hadoop.py:28)."""
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.trim(F.regexp_replace(F.concat(F.lit("  "), F.col("text"), F.lit("  ")), r"\s+", " ")).alias("squeezed"),
     )
 
 
@@ -1254,15 +1251,44 @@ def _q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality score, token counts, winnowing fingerprint — from ONE scan and
     ONE projection (both feature sets are withColumn passthroughs, so this
     is also the better plan than two separate queries over the same
-    table). The unmerged functions remain as independent bench lines."""
+    table). The unmerged functions remain as independent bench lines.
+
+    Round 8 adds two same-table/same-grain riders:
+    * ``squeezed`` — the former ``whitespace_squeeze`` entry
+      (pro.py:40-43, hadoop.py:28), merged here to fund the
+      ``sequence_packing`` gate slot.
+    * the Gopher/C4 repetition & boilerplate filters
+      (textstats.repetition_stats, round-7 verdict #3). The synth docs
+      are single-line, so the line/paragraph stats run over a DERIVED
+      repetitive text — block = text ⏎ first-20-words ⏎ (text again when
+      doc_id%3==0), doubled into two paragraphs when doc_id%2==0 — fully
+      SQL-replayable and value-varied; the top-n-gram stats run over the
+      ORIGINAL text (the synth vocab repeats words naturally). The
+      ``*_ppm`` columns are integer parts-per-million (x*1e6 DIV denom):
+      exact integer arithmetic on both engines, no float-round boundary."""
     from sparklead.enhancers.eventlog import trigrams
-    from sparklead.textstats import text_features
+    from sparklead.textstats import repetition_stats, text_features
 
     docs = _fan(_read(spark, sf_dir, "documents"))
-    t = text_features(trigrams(docs, "text"))
     words = F.split("text", " ")
-    return t.select(
+    block = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.array_join(F.slice(words, 1, 20), " "),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text")),
+    )
+    rt = F.concat_ws("\n\n", block, F.when(F.col("doc_id") % 2 == 0, block))
+    rep_lines = repetition_stats(
+        docs.select("doc_id", rt.alias("text"))
+    ).select("doc_id", "n_lines", "n_dup_lines", "n_paras", "n_dup_paras")
+    rep_tops = repetition_stats(docs).select(
         "doc_id",
+        *[c for n in (2, 3, 4) for c in (f"top{n}_gram", f"top{n}_count")],
+    )
+    t = text_features(trigrams(docs, "text"))
+    profile = t.select(
+        "doc_id",
+        "text",
         F.size(words).alias("e_words_len"),
         F.size(F.array_distinct(words)).alias("n_distinct"),
         F.element_at(words, 1).alias("first_word"),
@@ -1274,6 +1300,30 @@ def _q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
         F.round("quality", 6).alias("quality"),
         "fingerprint",
+        F.trim(
+            F.regexp_replace(
+                F.concat(F.lit("  "), F.col("text"), F.lit("  ")), r"\s+", " "
+            )
+        ).alias("squeezed"),
+    )
+    out = profile.join(rep_lines, "doc_id").join(rep_tops, "doc_id")
+    top_cols = []
+    for n in (2, 3, 4):
+        top_cols += [
+            F.col(f"top{n}_gram"),
+            F.col(f"top{n}_count"),
+            F.expr(
+                f"coalesce(top{n}_count * length(top{n}_gram) * 1000000"
+                f" DIV greatest(length(text), 1), 0)"
+            ).alias(f"top{n}_ppm"),
+        ]
+    return out.select(
+        *[c for c in profile.columns if c != "text"],
+        "n_lines",
+        F.expr("n_dup_lines * 1000000 DIV n_lines").alias("dup_line_ppm"),
+        "n_paras",
+        F.expr("n_dup_paras * 1000000 DIV n_paras").alias("dup_para_ppm"),
+        *top_cols,
     )
 
 
@@ -1317,6 +1367,17 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("containment", 6).alias("containment"),
         (F.col("containment") >= 0.5).alias("contaminated"),
     )
+
+
+def _q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 repetition & boilerplate filters per document (bench-only
+    line; the operator is GATED via the round-8 riders on
+    ``doc_text_profile`` — this tracks the standalone explode→count→
+    max(struct) shape's cost round-over-round on the raw docs table)."""
+    from sparklead.textstats import repetition_stats
+
+    docs = _fan(_read(spark, sf_dir, "documents"))
+    return repetition_stats(docs)
 
 
 def _q_decontamination_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1463,6 +1524,38 @@ def _q_neardup_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_text_dedup(docs, threshold=0.7)
 
 
+def _q_llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed LLM-data pipeline (bench-only, round-8 — verdict #4):
+    near-dedup -> decontaminate -> tokenize -> mixture-sample -> pack as
+    ONE routed job (llm_pipeline.run_llm_pipeline, parquet sinks +
+    footer manifests per stage). Runs over the SAME seeded-dup 20k corpus
+    as the ``neardup_text_dedup`` line, so the composition overhead
+    (four extra stages + stage materialization + manifests) is readable
+    as the delta against that line round-over-round. resume=False and the
+    out dir is wiped per call: every bench repeat times the FULL job.
+    Eval set: every 97th doc leaks verbatim. The pipeline releases its own
+    component-labels cache (no CLEAR_CACHE_AFTER needed)."""
+    import shutil
+
+    from sparklead.llm_pipeline import run_llm_pipeline
+
+    _write_neardup_bench_input(spark)
+    docs = spark.read.parquet(NEARDUP_BENCH_INPUT).withColumn(
+        "source", F.concat(F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(8)))
+    )
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    out_dir = f"{_EVIDENCE_BASE}/llm_pipeline_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    res = run_llm_pipeline(
+        docs, eval_set, out_dir, budget_frac=0.5, max_tokens=512, resume=False
+    )
+    return res["stats"].groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.round(F.avg("fill_ratio"), 4).alias("avg_fill"),
+    )
+
+
 DRAIN_BENCH_INPUT = f"{_EVIDENCE_BASE}/drain_bench_input"
 _drain_bench_written = False
 
@@ -1491,14 +1584,14 @@ def _write_packing_bench_input(spark: SparkSession) -> None:
         _packing_bench_written = True
 
 
-def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing over the north-rule input table (bench-only, not
-    gated — the greedy kernel is pinned against a from-scratch Python
-    oracle + repartition-invariance in tests/test_round7.py; this line
-    tracks the chunk -> assign -> join-back -> stats composition's cost
-    round-over-round). 200k pretokenized docs materialized once per
-    process (the drain_templates pattern), budget 256, 64 salt buckets so
-    the synth corpus's exponential source skew cannot serialize the
+def _q_sequence_packing_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the 200k-doc north-rule corpus (bench-only;
+    BENCH key renamed from ``sequence_packing`` in round 8 when the
+    operator graduated to a gated sf-table entry — the computation here is
+    UNCHANGED, so r7's ``sequence_packing`` bench values compare 1:1 with
+    ``sequence_packing_200k``). Tracks the chunk -> assign -> join-back ->
+    stats composition's cost round-over-round: budget 256, 64 salt buckets
+    so the synth corpus's exponential source skew cannot serialize the
     pandas lane through one task."""
     from sparklead.packing import pack_stats, pack_tokenized
 
@@ -1510,15 +1603,49 @@ def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget mixture sampling over the north-rule input table
-    (bench-only, not gated — the md5 lane is value-pinned against BOTH a
-    from-scratch Python oracle and a full DuckDB window recompute in
-    tests/test_round7.py; exemption note in CLAUDE.md). Reuses the 200k
-    packing corpus; each source sampled to 25% of its tokens, so the line
-    tracks the full composition round-over-round: totals agg ->
-    distributed prefix sum on the narrow projection -> eager cutoff
-    collect -> broadcast-filter application -> kept stats."""
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GATED since round 8 (round-7 verdict #1 — was a pytest-side
+    exemption): greedy sequence packing over a pretokenized frame derived
+    1:1 from the documents table (tokens = the space-split words, n_tok =
+    their count — fully SQL-replayable), budget 32 so real docs chunk
+    (corpus max is 99 words). DuckDB recomputes the ENTIRE operator from
+    scratch: the chunk-size arithmetic, the (doc_id, chunk_idx) walk
+    order, and the sequential greedy recurrence itself via a RECURSIVE
+    CTE stepping item-by-item per source — the from-scratch cross-engine
+    twin of the window-SQL certification in tests/test_round7.py (which
+    stays, covering the salted path the gate fixture omits). ``fill_bp``
+    is integer basis points (n_tokens*10000 DIV 32): integer arithmetic
+    on both engines, zero float-boundary risk. The 200k-doc composition
+    remains a separate bench line (``sequence_packing_200k``)."""
+    from sparklead.packing import pack_stats, pack_tokenized
+
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    pretok = docs.select(
+        "doc_id",
+        words.alias("tokens"),
+        F.size(words).cast("int").alias("n_tok"),
+        "source",
+    )
+    packed = pack_tokenized(_fan(pretok), 32)
+    return pack_stats(packed, 32).select(
+        "source",
+        "pack_id",
+        "n_items",
+        "n_tokens",
+        F.expr("n_tokens * 10000 DIV 32").alias("fill_bp"),
+    )
+
+
+def _q_mixture_sampling_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling over the 200k-doc corpus (bench-only;
+    BENCH key renamed from ``mixture_sampling`` in round 8 when the
+    operator graduated to a gated sf-table entry — computation UNCHANGED,
+    r7 values compare 1:1). Production xxhash64 lane; each source sampled
+    to 25% of its tokens, so the line tracks the full composition
+    round-over-round: totals agg -> distributed prefix sum on the narrow
+    projection -> eager cutoff collect -> broadcast-filter application ->
+    kept stats."""
     from sparklead.mixture import sample_to_token_budget
 
     _write_packing_bench_input(spark)
@@ -1529,6 +1656,34 @@ def _q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("source").agg(
         F.count("*").alias("kept_docs"),
         F.sum("n_tok").cast("bigint").alias("kept_tokens"),
+    )
+
+
+def _q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GATED since round 8 (round-7 verdict #1 — was a pytest-side
+    exemption): token-budget mixture sampling on the md5 lane
+    (fast=False) over (doc_id, source, n_tok) derived from the documents
+    table, budgets = 25% of each source's token total (0.25 is a binary
+    power, so the Python ``int(t * 0.25)`` and DuckDB
+    ``floor(sum * 0.25)`` are the same exact IEEE op — no float-boundary
+    risk). Returned at PER-DOC grain so every kept/dropped decision is
+    value-checked: DuckDB recomputes the md5 permutation order, the
+    per-source running-total window, and the budget filter from scratch
+    (the tests/test_round7.py certification promoted into the gate).
+    The 200k production-lane composition remains a separate bench line
+    (``mixture_sampling_200k``)."""
+    from sparklead.mixture import sample_to_token_budget
+
+    docs = _read(spark, sf_dir, "documents")
+    pretok = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("int").alias("n_tok"),
+    )
+    totals = pretok.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    budgets = {r["source"]: int(r["t"] * 0.25) for r in totals}
+    return sample_to_token_budget(pretok, budgets, fast=False).select(
+        "doc_id", "source", "n_tok"
     )
 
 
@@ -2164,23 +2319,17 @@ def oracle_sql() -> dict[str, str]:
                    END AS rest
             FROM documents
         """,
+        # round-8 merge: the former epoch_decode columns ride here (same
+        # events table, same per-event grain) — slot funds mixture_sampling
         "regex_json_extract": """
             SELECT event_id,
                    regexp_extract(props, '"k": (\\d+)', 1) AS k_str,
                    regexp_replace(props, '\\d+', '<NUM>', 'g') AS props_masked,
-                   CAST(json_extract(props, '$.k') AS INT) AS k
-            FROM events
-        """,
-        "epoch_decode": """
-            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS INT) AS k,
                    epoch(date_trunc('second', ts))::bigint AS epoch_s,
                    date_trunc('second', ts) AS ts_roundtrip,
                    date_trunc('hour', ts) AS hour_bucket
-            FROM events WHERE event_id < 500
-        """,
-        "whitespace_squeeze": """
-            SELECT doc_id, trim(regexp_replace('  ' || text || '  ', '\\s+', ' ', 'g')) AS squeezed
-            FROM documents
+            FROM events
         """,
         "conditional_median": """
             SELECT CASE WHEN event_type = 'error' THEN 'high'
@@ -2261,6 +2410,11 @@ def oracle_sql() -> dict[str, str]:
                      || ' ' || tod END AS ts
             FROM dated
         """,
+        # round-8 riders: squeezed (former whitespace_squeeze entry) + the
+        # Gopher/C4 repetition filters — line/para dup stats over a derived
+        # repetitive text (the synth docs are single-line), top-n-gram
+        # stats over the original text; *_ppm columns are exact integer
+        # parts-per-million on both engines (// vs DIV)
         "doc_text_profile": f"""
             WITH lq AS ({_LANG_QUALITY_SQL}),
             dts AS (
@@ -2270,14 +2424,76 @@ def oracle_sql() -> dict[str, str]:
                      string_split(text, ' ')[1] AS first_word,
                      string_split(text, ' ')[-1] AS last_word,
                      len(list_distinct([substring(text, i, 3)
-                                        FOR i IN range(1, greatest(len(text) - 1, 1))])) AS n_distinct_trigrams
+                                        FOR i IN range(1, greatest(len(text) - 1, 1))])) AS n_distinct_trigrams,
+                     trim(regexp_replace('  ' || text || '  ', '\\s+', ' ', 'g')) AS squeezed
               FROM documents
+            ),
+            rt AS (
+              SELECT doc_id,
+                     concat_ws(chr(10) || chr(10), block,
+                               CASE WHEN doc_id % 2 = 0 THEN block END) AS rt
+              FROM (
+                SELECT doc_id,
+                       concat_ws(chr(10), text,
+                                 array_to_string((string_split(text, ' '))[1:20], ' '),
+                                 CASE WHEN doc_id % 3 = 0 THEN text END) AS block
+                FROM documents)
+            ),
+            rep_lines AS (
+              SELECT doc_id,
+                     len(string_split(rt, chr(10))) AS n_lines,
+                     len(string_split(rt, chr(10)))
+                       - len(list_distinct(string_split(rt, chr(10)))) AS n_dup_lines,
+                     len(string_split(rt, chr(10) || chr(10))) AS n_paras,
+                     len(string_split(rt, chr(10) || chr(10)))
+                       - len(list_distinct(string_split(rt, chr(10) || chr(10)))) AS n_dup_paras
+              FROM rt
+            ),
+            rwords AS (
+              SELECT doc_id, len(text) AS tc,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+              FROM documents
+            ),
+            rtop AS (
+              SELECT doc_id, tc, n, c, g FROM (
+                SELECT doc_id, tc, n, g, count(*) AS c,
+                       row_number() OVER (PARTITION BY doc_id, n
+                                          ORDER BY count(*) DESC, g DESC) AS rn
+                FROM (
+                  SELECT doc_id, tc, nn.n AS n,
+                         array_to_string(w[i:i+nn.n-1], ' ') AS g
+                  FROM rwords, (VALUES (2), (3), (4)) AS nn(n),
+                       unnest(CASE WHEN len(w) >= nn.n
+                                   THEN range(1, len(w) - nn.n + 2)
+                                   ELSE [] END) AS t(i)
+                ) GROUP BY doc_id, tc, n, g
+              ) WHERE rn = 1
+            ),
+            rep AS (
+              SELECT rl.doc_id, rl.n_lines,
+                     (rl.n_dup_lines * 1000000) // rl.n_lines AS dup_line_ppm,
+                     rl.n_paras,
+                     (rl.n_dup_paras * 1000000) // rl.n_paras AS dup_para_ppm,
+                     t2.g AS top2_gram, coalesce(t2.c, 0) AS top2_count,
+                     coalesce((t2.c * len(t2.g) * 1000000) // greatest(t2.tc, 1), 0) AS top2_ppm,
+                     t3.g AS top3_gram, coalesce(t3.c, 0) AS top3_count,
+                     coalesce((t3.c * len(t3.g) * 1000000) // greatest(t3.tc, 1), 0) AS top3_ppm,
+                     t4.g AS top4_gram, coalesce(t4.c, 0) AS top4_count,
+                     coalesce((t4.c * len(t4.g) * 1000000) // greatest(t4.tc, 1), 0) AS top4_ppm
+              FROM rep_lines rl
+              LEFT JOIN rtop t2 ON t2.doc_id = rl.doc_id AND t2.n = 2
+              LEFT JOIN rtop t3 ON t3.doc_id = rl.doc_id AND t3.n = 3
+              LEFT JOIN rtop t4 ON t4.doc_id = rl.doc_id AND t4.n = 4
             )
             SELECT lq.doc_id, dts.e_words_len, dts.n_distinct, dts.first_word,
                    dts.last_word, dts.n_distinct_trigrams, lq.n_ws_tokens,
                    lq.n_bpe_tokens, lq.lang_pred, lq.stopword_ratio,
-                   lq.quality, lq.fingerprint
-            FROM lq JOIN dts USING (doc_id)
+                   lq.quality, lq.fingerprint, dts.squeezed,
+                   rep.n_lines, rep.dup_line_ppm, rep.n_paras, rep.dup_para_ppm,
+                   rep.top2_gram, rep.top2_count, rep.top2_ppm,
+                   rep.top3_gram, rep.top3_count, rep.top3_ppm,
+                   rep.top4_gram, rep.top4_count, rep.top4_ppm
+            FROM lq JOIN dts USING (doc_id) JOIN rep USING (doc_id)
         """,
         "decontamination": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2310,6 +2526,64 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(h.n_hit, 0) / greatest(len(dg.gs), 1)::double, 6) AS containment,
                    coalesce(h.n_hit, 0) / greatest(len(dg.gs), 1)::double >= 0.5 AS contaminated
             FROM doc_grams dg LEFT JOIN hits h USING (doc_id)
+        """,
+        # sequence_packing (round-8 graduation): DuckDB recomputes the
+        # WHOLE operator from scratch — chunk arithmetic, the
+        # (doc_id, chunk_idx) walk order, and the sequential greedy
+        # recurrence itself via a RECURSIVE CTE stepping item-by-item per
+        # source (depth = the largest source's item count; fine at gate
+        # scale, and an independent implementation rather than a replay
+        # of materialized assignments). fill_bp is integer basis points.
+        "sequence_packing": """
+            WITH RECURSIVE pre AS (
+              SELECT doc_id, source, len(string_split(text, ' ')) AS n
+              FROM documents
+            ), chunks AS (
+              SELECT doc_id, source, i AS chunk_idx, least(32, n - i*32) AS n_tok
+              FROM pre,
+                   unnest(range(0, greatest(cast(ceil(n / 32.0) AS int), 1))) AS t(i)
+            ), ordered AS (
+              SELECT source, n_tok,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id, chunk_idx) AS rn
+              FROM chunks
+            ), walk AS (
+              SELECT source, rn, n_tok, n_tok AS run, 0 AS pack_id
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.source, o.rn, o.n_tok,
+                     CASE WHEN w.run > 0 AND w.run + o.n_tok > 32
+                          THEN o.n_tok ELSE w.run + o.n_tok END,
+                     CASE WHEN w.run > 0 AND w.run + o.n_tok > 32
+                          THEN w.pack_id + 1 ELSE w.pack_id END
+              FROM walk w JOIN ordered o ON o.source = w.source AND o.rn = w.rn + 1
+            )
+            SELECT source, pack_id::bigint AS pack_id, count(*) AS n_items,
+                   sum(n_tok)::bigint AS n_tokens,
+                   (sum(n_tok)::bigint * 10000) // 32 AS fill_bp
+            FROM walk GROUP BY source, pack_id
+        """,
+        # mixture_sampling (round-8 graduation): DuckDB recomputes the md5
+        # permutation order, the per-source running-total window, and the
+        # budget filter (25% of each source's token total — 0.25 is a
+        # binary power, so floor()/int() agree exactly) from scratch at
+        # per-doc grain.
+        "mixture_sampling": """
+            WITH pre AS (
+              SELECT doc_id, source,
+                     cast(len(string_split(text, ' ')) AS int) AS n_tok
+              FROM documents
+            ), bud AS (
+              SELECT source, cast(floor(sum(n_tok) * 0.25) AS bigint) AS budget
+              FROM pre GROUP BY source
+            ), c AS (
+              SELECT doc_id, source, n_tok,
+                     sum(n_tok) OVER (PARTITION BY source
+                                      ORDER BY md5(doc_id || ':0'), doc_id) AS cum
+              FROM pre
+            )
+            SELECT c.doc_id, c.source, c.n_tok
+            FROM c JOIN bud USING (source) WHERE c.cum <= bud.budget
         """,
         "vocabulary": """
             SELECT token, count(*) AS freq

@@ -40,19 +40,28 @@ HEADLINE = [
     # bench-only xxhash production lane, the lang_quality twin pattern)
     "decontamination",
     "decontamination_fast",  # private entry fn — 8-byte gram keys, the 100 TB lane
+    # round-8 operator: Gopher/C4 duplicate-line/paragraph + top-n-gram-mass
+    # filters (gated via doc_text_profile riders; this line times the
+    # standalone shape on the raw docs table)
+    "repetition_filters",
     "drain_templates",  # private entry fn — miners are gated via parser_templates
-    # round-7 operator (bench-only; greedy kernel Python-oracle-pinned in
-    # pytest): chunk -> greedy pack -> join-back -> fill stats over 200k
-    # pretokenized docs — the training-batch construction step
-    "sequence_packing",
-    # round-7 operator (bench-only; md5 lane Python- AND DuckDB-pinned in
-    # pytest): per-source token-budget sampling over the same 200k corpus
-    # — narrow prefix sum -> eager cutoffs -> broadcast-filter application
-    "mixture_sampling",
+    # round-7 operator: chunk -> greedy pack -> join-back -> fill stats over
+    # 200k pretokenized docs — the training-batch construction step.
+    # RENAMED round 8 from "sequence_packing" when the operator graduated to
+    # a gated sf-table entry: computation unchanged, r7 values compare 1:1
+    "sequence_packing_200k",
+    # round-7 operator: per-source token-budget sampling over the same 200k
+    # corpus — narrow prefix sum -> eager cutoffs -> broadcast-filter
+    # application. RENAMED round 8 from "mixture_sampling" (same 1:1 rename)
+    "mixture_sampling_200k",
     # private entry fn — the one-call dedup composition (exact -> LSH ->
     # verify -> components -> keep) over the seeded-dup 20k corpus; added
     # round-6 (judge item #4) so stage-plan regressions show in BENCH_r{N}
     "neardup_text_dedup",
+    # round-8 (verdict #4): the composed dedup -> decontaminate -> tokenize
+    # -> mixture-sample -> pack ROUTED job over the same 20k corpus —
+    # composition overhead reads as the delta vs neardup_text_dedup
+    "llm_pipeline_e2e",
 ]
 
 # queries whose library contract leaves a caller-owned cache (component

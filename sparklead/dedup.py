@@ -726,11 +726,12 @@ def dedup_by_components(
     neardup_components' contract — unpersisting before the result
     materializes would re-run the propagation loop). Long-lived sessions
     deduping many corpora should clear them after materializing:
-    ``spark.catalog.clearCache()`` or hold the labels via
-    ``neardup_components`` directly and ``.unpersist()`` them. Pass
-    ``components`` when the labels were already resolved (avoids re-running
-    the propagation loop for callers that need both pairs-view and
-    decision)."""
+    ``spark.catalog.clearCache()``, or (round-8, for composed pipelines
+    that must not nuke unrelated caches) unpersist the labels frame
+    re-exported as ``sparklead_component_labels`` on the returned frame,
+    THEN call ``sparklead_release_scratch``. Pass ``components`` when the
+    labels were already resolved (avoids re-running the propagation loop
+    for callers that need both pairs-view and decision)."""
     comps = (
         components
         if components is not None
@@ -746,6 +747,9 @@ def dedup_by_components(
     out.sparklead_release_scratch = getattr(
         comps, "sparklead_release_scratch", lambda: None
     )
+    # round-8: let composed callers release the ONE cache this contract
+    # leaves behind without a global clearCache (llm_pipeline.py)
+    out.sparklead_component_labels = comps
     return out
 
 

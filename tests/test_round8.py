@@ -209,3 +209,79 @@ def test_repetition_stats_matches_python_oracle(spark, data):
                 assert gv == pytest.approx(v, abs=1e-12), (repr(t), k, gv, v)
             else:
                 assert gv == v, (repr(t), k, gv, v)
+
+# --------------------------------------------- composed LLM pipeline (e2e)
+
+def _pipeline_corpus(spark):
+    """Text corpus with seeded structure for every stage: exact dups
+    (doc%40==1 copies doc-1), a verbatim eval leak (doc 7), two sources."""
+    base = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 40 == 1, F.col("id") - 1).otherwise(F.col("id")).alias("b"),
+        F.concat(F.lit("src"), (F.col("id") % 2)).alias("source"),
+    )
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64("b", i), F.lit(500))),
+    )
+    return base.select("doc_id", F.array_join(words, " ").alias("text"), "source")
+
+
+def test_llm_pipeline_end_to_end_and_resume(spark, tmp_path):
+    """The composed dedup -> decontaminate -> tokenize -> sample -> pack job:
+    stage invariants hold, no persisted state or scratch outlives the call,
+    and a second run resumes every sink without recompute."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from sparklead.llm_pipeline import run_llm_pipeline
+
+    spark.catalog.clearCache()
+    docs = _pipeline_corpus(spark)
+    ev = docs.filter(F.col("doc_id") == 7).select("text")
+    out_dir = str(tmp_path / "pipe")
+    res = run_llm_pipeline(
+        docs, ev, out_dir, budget_frac=0.5, max_tokens=64,
+        salt_buckets=4, dedup_threshold=0.9, ngram_n=5,
+    )
+    stats = res["stats"].collect()
+    assert set(res["manifests"]) == {"dedup", "clean", "pretok", "sampled", "packed"}
+    # the one persisted frame (component labels) was released by the pipeline
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    # dedup: exact copies collapsed to the min-id representative
+    kept = {r["doc_id"] for r in spark.read.parquet(out_dir + "/dedup").collect()}
+    assert 0 in kept and 1 not in kept  # doc 1 copies doc 0
+    # decontamination: the verbatim eval leak is gone
+    clean_ids = {r["doc_id"] for r in spark.read.parquet(out_dir + "/clean").collect()}
+    assert 7 not in clean_ids and clean_ids < kept
+    # mixture: per-source kept tokens within the 50% budget of pretok totals
+    pre = spark.read.parquet(out_dir + "/pretok")
+    tot = {r["source"]: r["t"] for r in pre.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()}
+    smp = {
+        r["source"]: r["t"]
+        for r in spark.read.parquet(out_dir + "/sampled")
+        .groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    for s, t in smp.items():
+        assert t <= int(tot[s] * 0.5)
+    # packing: zero overfull packs, every sampled chunk assigned exactly once
+    assert all(r["n_tokens"] <= 64 for r in stats)
+    packed = spark.read.parquet(out_dir + "/packed")
+    assert packed.groupBy("doc_id", "chunk_idx").count().filter("count > 1").count() == 0
+    # resume: second run touches nothing (all manifests flagged resumed)
+    res2 = run_llm_pipeline(
+        docs, ev, out_dir, budget_frac=0.5, max_tokens=64,
+        salt_buckets=4, dedup_threshold=0.9, ngram_n=5,
+    )
+    assert all(m.get("resumed") for m in res2["manifests"].values())
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    # crash-recovery: losing one sink rebuilds exactly that stage
+    import shutil
+
+    shutil.rmtree(out_dir + "/pretok")
+    res3 = run_llm_pipeline(
+        docs, ev, out_dir, budget_frac=0.5, max_tokens=64,
+        salt_buckets=4, dedup_threshold=0.9, ngram_n=5,
+    )
+    assert not res3["manifests"]["pretok"].get("resumed")
+    assert res3["manifests"]["dedup"].get("resumed")
+    assert res3["manifests"]["packed"].get("resumed")
