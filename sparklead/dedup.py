@@ -174,6 +174,21 @@ def minhash_candidates(
     (minhash_signature_fast over pre-hashed shingles) — the production path
     at corpus scale.
 
+    PARAMETER SIZING AT SCALE (round-8, measured — tools/lsh_candidate_sweep.py
+    + BENCH.md): expected FALSE candidates ≈ C(n,2)·b·s^r (b bands, r rows
+    per band, s = typical random-pair shingle Jaccard). This is a THRESHOLD
+    effect, not a gradual one — on the seeded corpus (5k-word vocab,
+    40-token docs) candidate volume is EXACTLY linear through 800k docs at
+    the r=4 default (0.0314 cands/doc, constant to 4 decimals), because s
+    is small enough that the quadratic term is ~0.1 pairs even there. The
+    quadratic term turns on near n* ≈ 2/(b·s^r); each +1 row per band
+    multiplies n* by 1/s at a small recall cost at the verify threshold
+    (P(candidate) ≈ 1−(1−J^r)^b; measured r=4→6: recall 0.9987→0.9944 at
+    J≈0.92). Recipe for a 100× corpus: estimate s on a sample (one agg of
+    pairwise band collisions or shingle stats), then pick the smallest r
+    with n·b·s^r ≤ your false-pair budget — don't grow b (it multiplies
+    both cost and false pairs), grow r.
+
     Plan shape (round-5 fix, measured 19x end-to-end at 20k 40-token docs:
     128 s -> 6.7 s, BENCH.md dedup table): the fast lane routes through
     ``minhash_signatures`` — explode + codegen'd partial-min hash aggregate
