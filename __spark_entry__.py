@@ -151,8 +151,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_by_name": _q_union_by_name,
         "auc_threshold": _q_auc_threshold,
         # ---- training-data ops (dedup / similarity / text)
-        "exact_dedup": _q_exact_dedup,
-        "minhash_signature": _q_minhash_signature,
+        # round-8 gate-slot consolidation #2: exact_dedup + minhash_signature
+        # (same dedup family, one doc-grain frame over the dup-seeded
+        # corpus) merged into dedup_signatures, funding the substring_dedup
+        # slot; both originals remain standalone BENCH lines via _q_ fallback
+        "dedup_signatures": _q_dedup_signatures,
+        "substring_dedup": _q_substring_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "knn_cosine": _q_knn_cosine,
         "embedding_mean_by_label": _q_embedding_mean_by_label,
@@ -1100,6 +1104,101 @@ def _q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", sig.getItem(0).alias("mh0"), sig.getItem(3).alias("mh3"))
 
 
+def _q_dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GATE MERGE round 8 of the former ``exact_dedup`` + ``minhash_signature``
+    entries (same dedup family, one doc-grain frame — funding the
+    ``substring_dedup`` slot under the 50-entry cap; both originals remain
+    standalone BENCH lines via the ``_q_`` fallback).
+
+    Per doc of the dup-seeded corpus (every 10th doc re-inserted verbatim
+    under doc_id+100000): the exact-dedup group evidence (content_hash,
+    group size over the FULL corpus, is_keep = the min-id representative
+    rule) plus, on the affordable doc_id<100 window and its seeded dups,
+    the md5-lane MinHash salts (identical texts provably hash to identical
+    signatures in the output itself). DuckDB recomputes the groups, the
+    keep rule, and the signature mins from scratch."""
+    from sparklead.dedup import exact_duplicates, minhash_signature, word_shingles
+
+    docs = _read(spark, sf_dir, "documents")
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.unionByName(dupes)
+    groups = exact_duplicates(corpus)
+    sig = minhash_signature(word_shingles("text", 3), 4)
+    sig_sub = _fan(
+        corpus.filter(
+            (F.col("doc_id") < 100)
+            | ((F.col("doc_id") >= 100000) & (F.col("doc_id") < 100100))
+        )
+    ).select("doc_id", sig.getItem(0).alias("mh0"), sig.getItem(3).alias("mh3"))
+    return (
+        corpus.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(groups, "content_hash")
+        .join(sig_sub, "doc_id", "left")
+        .select(
+            "doc_id",
+            "content_hash",
+            "n_dups",
+            (F.col("doc_id") == F.col("keep_id")).alias("is_keep"),
+            "mh0",
+            "mh3",
+        )
+    )
+
+
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (ExactSubstr, Lee et al. 2022) — NEW
+    round 8, gated: token windows of length 8 occurring >=2 times keep
+    their canonical (min (doc_id, pos)) occurrence; every other
+    occurrence's span is scrubbed. Duplicate spans are SEEDED on top of
+    the raw docs (which carry their own natural repeats): quoter docs
+    (+200000) embed a verbatim 12-word slice of a source doc, self-repeat
+    docs (+400000) append a 10-word slice of their own text — exercising
+    cross-doc quotes, full-coverage scrubs, and adjacent-interval merges.
+    DuckDB recomputes EVERYTHING from scratch: the md5 window grams, the
+    global occurrence count + canonical rank window, the gap-and-islands
+    span merge, and the per-position scrub (clean_text is the surviving
+    token sequence, value-checked verbatim). Stats ride the md5 lane
+    (fast=False — the engine-portable twin of the xxhash64 production
+    lane, pinned equal in tests/test_round8b.py)."""
+    from sparklead.substrings import scrub_duplicate_substrings, substring_dup_stats
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split("text", " ")
+    quoters = docs.filter((F.col("doc_id") % 7 == 3) & (F.size(w) >= 20)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.lit("open quote "),
+            F.array_join(F.slice(w, 3, 12), " "),
+            F.lit(" close quote"),
+        ).alias("text"),
+    )
+    selfrep = docs.filter((F.col("doc_id") % 13 == 5) & (F.size(w) >= 15)).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), F.array_join(F.slice(w, 2, 10), " ")).alias(
+            "text"
+        ),
+    )
+    corpus = docs.unionByName(quoters).unionByName(selfrep)
+    pre = _fan(corpus.select("doc_id", F.split("text", " ").alias("tokens")))
+    stats = substring_dup_stats(pre, l=8, fast=False)
+    clean = scrub_duplicate_substrings(pre, l=8, fast=False).select(
+        "doc_id",
+        F.array_join("clean_tokens", " ").alias("clean_text"),
+        "n_clean_tok",
+    )
+    return stats.join(clean, "doc_id").select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        "n_dup_tokens",
+        "dup_token_ppm",
+        "n_clean_tok",
+        "clean_text",
+    )
+
+
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard on a small id window (verification kernel).
 
@@ -1684,6 +1783,28 @@ def _q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     budgets = {r["source"]: int(r["t"] * 0.25) for r in totals}
     return sample_to_token_budget(pretok, budgets, fast=False).select(
         "doc_id", "source", "n_tok"
+    )
+
+
+def _q_substring_scrub_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup over the 200k-doc north-rule corpus
+    (bench-only; the operator is gated via ``substring_dedup`` on the sf
+    documents table). Production lane: xxhash64 window grams (l=8),
+    n_tok_col so the join-back base branch scans only scalars, full scrub
+    materialization forced through a per-doc signature of the cleaned
+    array. The synth corpus's hot templates (18% of docs collapse onto 40
+    twelve-token arrays) make this a real duplicate-heavy workload:
+    every hot doc's 5 windows occur ~900x."""
+    from sparklead.substrings import scrub_duplicate_substrings
+
+    _write_packing_bench_input(spark)
+    df = spark.read.parquet(PACKING_BENCH_INPUT)
+    out = scrub_duplicate_substrings(df, l=8, fast=True)
+    return out.select(
+        "doc_id",
+        "n_clean_tok",
+        "n_dup_tokens",
+        F.xxhash64("clean_tokens").alias("clean_sig"),
     )
 
 
@@ -2684,27 +2805,113 @@ def oracle_sql() -> dict[str, str]:
                            format='newline_delimited')
             GROUP BY host
         """,
-        "exact_dedup": """
+        # round-8 merge of the former exact_dedup + minhash_signature
+        # oracles: groups + keep rule recomputed over the full dup-seeded
+        # corpus, md5-min signatures over the doc_id<100 window + its dups
+        "dedup_signatures": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents
               UNION ALL
               SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
-            )
-            SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
-            FROM corpus GROUP BY md5(text)
-        """,
-        "minhash_signature": """
-            WITH sh AS (
+            ),
+            groups AS (
+              SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+              FROM corpus GROUP BY md5(text)
+            ),
+            sig AS (
               SELECT doc_id,
-                     -- \s+ split, matching Spark word_shingles' F.split(text, '\s+')
-                     list_distinct([array_to_string(string_split_regex(text, '\s+')[i:i+2], ' ')
-                                    FOR i IN range(1, greatest(len(string_split_regex(text, '\s+')) - 2, 1) + 1)]) AS shingles
-              FROM documents WHERE doc_id < 100
+                     list_min([md5(s || '#0') FOR s IN shingles]) AS mh0,
+                     list_min([md5(s || '#3') FOR s IN shingles]) AS mh3
+              FROM (
+                SELECT doc_id,
+                       -- \s+ split, matching Spark word_shingles' F.split(text, '\s+')
+                       list_distinct([array_to_string(string_split_regex(text, '\s+')[i:i+2], ' ')
+                                      FOR i IN range(1, greatest(len(string_split_regex(text, '\s+')) - 2, 1) + 1)]) AS shingles
+                FROM corpus
+                WHERE doc_id < 100 OR (doc_id >= 100000 AND doc_id < 100100)
+              )
             )
-            SELECT doc_id,
-                   list_min([md5(s || '#0') FOR s IN shingles]) AS mh0,
-                   list_min([md5(s || '#3') FOR s IN shingles]) AS mh3
-            FROM sh
+            SELECT c.doc_id, md5(c.text) AS content_hash, g.n_dups,
+                   c.doc_id = g.keep_id AS is_keep, s.mh0, s.mh3
+            FROM corpus c
+            JOIN groups g ON md5(c.text) = g.content_hash
+            LEFT JOIN sig s USING (doc_id)
+        """,
+        # round-8 NEW: exact substring dedup — DuckDB recomputes the seeded
+        # corpus, the md5 window grams, the global-count + canonical-rank
+        # window, the gap-and-islands span merge, and the per-position
+        # scrub (clean_text verbatim) from scratch
+        "substring_dedup": """
+            WITH base AS (SELECT doc_id, text FROM documents),
+            w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+            quoters AS (
+              SELECT doc_id + 200000 AS doc_id,
+                     'open quote ' || array_to_string(w[3:14], ' ') || ' close quote' AS text
+              FROM w0 WHERE doc_id % 7 = 3 AND len(w) >= 20
+            ),
+            selfrep AS (
+              SELECT doc_id + 400000 AS doc_id,
+                     array_to_string(w, ' ') || ' ' || array_to_string(w[2:11], ' ') AS text
+              FROM w0 WHERE doc_id % 13 = 5 AND len(w) >= 15
+            ),
+            corpus AS (
+              SELECT * FROM base
+              UNION ALL SELECT * FROM quoters
+              UNION ALL SELECT * FROM selfrep
+            ),
+            tok AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                           len(string_split(text, ' ')) AS n FROM corpus),
+            pos AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(toks[i:i+7], ' ')) AS g
+              FROM tok, unnest(CASE WHEN n >= 8 THEN range(1, n - 6) ELSE [] END) AS t(i)
+            ),
+            ranked AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY g) AS c,
+                     row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+              FROM pos
+            ),
+            dup AS (SELECT doc_id, pos FROM ranked WHERE c >= 2 AND rn > 1),
+            brks AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1000000000) + 8
+                          THEN 1 ELSE 0 END AS brk
+              FROM dup
+            ),
+            isl AS (SELECT doc_id, pos,
+                           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+                    FROM brks),
+            iv AS (SELECT doc_id, gid, min(pos) AS s, max(pos) + 8 AS e, count(*) AS nw
+                   FROM isl GROUP BY doc_id, gid),
+            dstats AS (SELECT doc_id, sum(nw)::bigint AS n_dup_windows,
+                              sum(e - s)::bigint AS n_dup_tokens
+                       FROM iv GROUP BY doc_id),
+            toks_i AS (SELECT t.doc_id, i, t.toks[i] AS tk
+                       FROM tok t, unnest(range(1, t.n + 1)) AS r(i)),
+            covered AS (
+              SELECT ti.doc_id, ti.i, ti.tk,
+                     EXISTS (SELECT 1 FROM iv
+                             WHERE iv.doc_id = ti.doc_id
+                               AND ti.i - 1 >= iv.s AND ti.i - 1 < iv.e) AS cov
+              FROM toks_i ti
+            ),
+            clean AS (
+              SELECT doc_id,
+                     coalesce(string_agg(tk, ' ' ORDER BY i) FILTER (WHERE NOT cov), '') AS clean_text,
+                     count(*) FILTER (WHERE NOT cov) AS n_clean_tok
+              FROM covered GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CASE WHEN t.n >= 8 THEN t.n - 7 ELSE 0 END AS n_windows,
+                   coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+                   coalesce(d.n_dup_tokens, 0) AS n_dup_tokens,
+                   (coalesce(d.n_dup_tokens, 0) * 1000000) // greatest(t.n, 1) AS dup_token_ppm,
+                   c.n_clean_tok, c.clean_text
+            FROM tok t
+            LEFT JOIN dstats d USING (doc_id)
+            JOIN clean c USING (doc_id)
         """,
         "ngram_jaccard_pairs": """
             WITH corpus AS (

@@ -45,6 +45,11 @@ HEADLINE = [
     # standalone shape on the raw docs table)
     "repetition_filters",
     "drain_templates",  # private entry fn — miners are gated via parser_templates
+    # round-8 operator: exact substring dedup (ExactSubstr) — the gated
+    # md5 lane on the sf documents table, plus the xxhash64 production
+    # lane over the 200k pretokenized corpus (hot-template duplicate mass)
+    "substring_dedup",
+    "substring_scrub_200k",  # private entry fn — production lane at 200k
     # round-7 operator: chunk -> greedy pack -> join-back -> fill stats over
     # 200k pretokenized docs — the training-batch construction step.
     # RENAMED round 8 from "sequence_packing" when the operator graduated to

@@ -223,12 +223,20 @@ def test_min_file_size_filter(spark, tmp_path):
 # ------------------------------------------------------------------ dedup fixtures
 
 def test_exact_dedup_sees_real_duplicate_groups(spark, sf_dir):
+    # round 8: exact_dedup merged into the doc-grain dedup_signatures
+    # entry — the seeded-group invariants carry over (each dup group has
+    # exactly 2 members: the original and its +100000 re-insert)
     import __spark_entry__ as entrymod
 
-    out = entrymod.queries()["exact_dedup"](spark, sf_dir)
+    out = entrymod.queries()["dedup_signatures"](spark, sf_dir)
     dups = out.filter(F.col("n_dups") > 1)
     assert dups.count() > 0
     assert dups.filter(F.col("n_dups") != 2).count() == 0  # each seeded once
+    # the keep rule picks exactly one representative per dup pair
+    keeps = dups.groupBy("content_hash").agg(
+        F.sum(F.col("is_keep").cast("int")).alias("k")
+    )
+    assert keeps.filter(F.col("k") != 1).count() == 0
 
 
 def test_ngram_jaccard_nonvacuous(spark, sf_dir):
