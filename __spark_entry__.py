@@ -1459,13 +1459,80 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     eval_set = _decontam_eval_set(docs)
     out = ngram_containment(_fan(docs), eval_set, ngram_n=8)
-    return out.select(
+    base = out.select(
         "doc_id",
         "n_ngrams",
         "n_hit",
         F.round("containment", 6).alias("containment"),
         (F.col("containment") >= 0.5).alias("contaminated"),
     )
+    # round-8 riders (same table, same per-doc grain — the doc_text_profile
+    # merge pattern): PII redaction + C4 boilerplate line filter
+    # (sparklead/scrub.py) over a deterministically seeded multi-line page
+    # derived from each doc's words — every 3rd doc carries a synthetic
+    # email/IPv4/phone inside a KEPT line, every 11th a lorem-ipsum tail
+    # line, every 13th a curly-brace line (page-level drops). DuckDB
+    # recomputes the page construction, the line filter, the keep flag,
+    # the match counts, and the redacted text verbatim.
+    return base.join(_scrub_rider(docs), "doc_id")
+
+
+def _scrub_rider(docs: DataFrame) -> DataFrame:
+    """Per-doc PII + C4 evidence columns over the seeded hygiene page
+    (shared by the gated entry above; see its docstring for the seeding
+    rules). Kept separate so the fixture is readable next to its oracle."""
+    from sparklead.scrub import c4_filter, redact_pii
+
+    w = F.split("text", " ")
+    did = F.col("doc_id")
+    pii = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+            F.lit(" tel +4912345678"),
+        ),
+    ).otherwise(F.lit(""))
+    l1 = F.concat(F.array_join(F.slice(w, 1, 6), " "), pii, F.lit(" one."))
+    l2 = F.array_join(F.slice(w, 7, 2), " ")  # dropped: 2 words, no punct
+    l3 = F.concat(
+        F.lit("javascript needed "), F.array_join(F.slice(w, 9, 3), " "), F.lit(".")
+    )  # dropped: javascript mention
+    l4 = F.concat(F.array_join(F.slice(w, 4, 4), " "), F.lit(" end!"))
+    l5 = F.concat(F.array_join(F.slice(w, 2, 5), " "), F.lit(" maybe?"))
+    page = F.concat_ws("\n", l1, l2, l3, l4, l5)
+    page = F.when(did % 11 == 0, F.concat(page, F.lit("\nlorem ipsum dolor."))).otherwise(page)
+    page = F.when(did % 13 == 1, F.concat(page, F.lit("\nbrace { line."))).otherwise(page)
+    hy = redact_pii(
+        c4_filter(docs.select("doc_id", page.alias("_pg")), "_pg").withColumnRenamed(
+            "c4_text", "_c4t"
+        ),
+        "_c4t",
+    )
+    return hy.select(
+        "doc_id",
+        "c4_n_lines",
+        "c4_kept_lines",
+        "c4_keep",
+        "n_emails",
+        "n_ipv4",
+        "n_phones",
+        F.col("redacted").alias("clean_text"),
+    )
+
+
+def _q_pii_c4_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + C4 line filter standalone shape (bench-only line;
+    the operators are GATED via the round-8 riders on ``decontamination``).
+    Times the pure zero-shuffle projection surface — seeded page build,
+    line filter, page flag, three regex counts + three redactions — on
+    the raw docs table."""
+    docs = _fan(_read(spark, sf_dir, "documents"))
+    return _scrub_rider(docs)
 
 
 def _q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2640,13 +2707,73 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, unnest(gs) AS g FROM doc_grams) d
               JOIN ev_grams USING (g)
               GROUP BY d.doc_id
+            ),
+            -- round-8 riders: PII + C4 hygiene over the seeded page
+            -- (line seeding, line filter, keep flag, counts, redaction
+            -- all recomputed from scratch)
+            pg0 AS (
+              SELECT doc_id,
+                     array_to_string(w[1:6], ' ')
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' contact user' || doc_id || '@example.com ip 10.0.'
+                                    || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                                    || ' tel +4912345678'
+                               ELSE '' END
+                       || ' one.'
+                       || chr(10) || array_to_string(w[7:8], ' ')
+                       || chr(10) || 'javascript needed ' || array_to_string(w[9:11], ' ') || '.'
+                       || chr(10) || array_to_string(w[4:7], ' ') || ' end!'
+                       || chr(10) || array_to_string(w[2:6], ' ') || ' maybe?' AS pg
+              FROM w
+            ),
+            pg1 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+                                        THEN pg || chr(10) || 'lorem ipsum dolor.'
+                                        ELSE pg END AS pg FROM pg0),
+            pg2 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 1
+                                        THEN pg || chr(10) || 'brace { line.'
+                                        ELSE pg END AS pg FROM pg1),
+            hyg AS (
+              SELECT doc_id, pg,
+                     string_split(pg, chr(10)) AS lines,
+                     list_filter(string_split(pg, chr(10)),
+                                 ln -> regexp_matches(ln, '[.!?"]$')
+                                       AND len(list_filter(string_split_regex(ln, '\s+'),
+                                                           x -> x <> '')) >= 3
+                                       AND NOT contains(lower(ln), 'javascript')) AS kept
+              FROM pg2
+            ),
+            hyg2 AS (
+              SELECT doc_id,
+                     len(lines) AS c4_n_lines,
+                     len(kept) AS c4_kept_lines,
+                     (NOT contains(lower(pg), 'lorem ipsum')
+                      AND NOT contains(pg, '{')
+                      AND len(kept) >= 3) AS c4_keep,
+                     array_to_string(kept, chr(10)) AS ct
+              FROM hyg
+            ),
+            hyg3 AS (
+              SELECT doc_id, c4_n_lines, c4_kept_lines, c4_keep,
+                     len(regexp_extract_all(ct, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+                     len(regexp_extract_all(ct, '\\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\b')) AS n_ipv4,
+                     len(regexp_extract_all(ct, '\\+[0-9][0-9 ()\\-]{6,14}[0-9]')) AS n_phones,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(ct, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         '\\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\b', '<IP>', 'g'),
+                       '\\+[0-9][0-9 ()\\-]{6,14}[0-9]', '<PHONE>', 'g') AS clean_text
+              FROM hyg2
             )
             SELECT dg.doc_id,
                    len(dg.gs) AS n_ngrams,
                    coalesce(h.n_hit, 0) AS n_hit,
                    round(coalesce(h.n_hit, 0) / greatest(len(dg.gs), 1)::double, 6) AS containment,
-                   coalesce(h.n_hit, 0) / greatest(len(dg.gs), 1)::double >= 0.5 AS contaminated
-            FROM doc_grams dg LEFT JOIN hits h USING (doc_id)
+                   coalesce(h.n_hit, 0) / greatest(len(dg.gs), 1)::double >= 0.5 AS contaminated,
+                   y.c4_n_lines, y.c4_kept_lines, y.c4_keep,
+                   y.n_emails, y.n_ipv4, y.n_phones, y.clean_text
+            FROM doc_grams dg
+            LEFT JOIN hits h USING (doc_id)
+            JOIN hyg3 y USING (doc_id)
         """,
         # sequence_packing (round-8 graduation): DuckDB recomputes the
         # WHOLE operator from scratch — chunk arithmetic, the

@@ -44,6 +44,10 @@ HEADLINE = [
     # filters (gated via doc_text_profile riders; this line times the
     # standalone shape on the raw docs table)
     "repetition_filters",
+    # round-8 operator: PII redaction + C4 boilerplate line filter (gated
+    # via riders on decontamination — which therefore is NOT 1:1 with its
+    # r7 value; decontamination_fast remains the pure-containment tracker)
+    "pii_c4_scrub",  # private entry fn — zero-shuffle projection shape
     "drain_templates",  # private entry fn — miners are gated via parser_templates
     # round-8 operator: exact substring dedup (ExactSubstr) — the gated
     # md5 lane on the sf documents table, plus the xxhash64 production

@@ -1,7 +1,10 @@
 """Round-8 additions, part 2: exact substring-level dedup (ExactSubstr,
 Lee et al. 2022) — fixture semantics, a from-scratch Python oracle under
 hypothesis, lane agreement, partition invariance, and the plan pins
-(single gram window / payload pruning with n_tok_col)."""
+(single gram window / payload pruning with n_tok_col) — plus the PII
+redaction + C4 boilerplate line filter family (sparklead/scrub.py):
+fixture semantics, Python-re parity on the engine-agreement regex
+subset, and the zero-exchange/zero-UDF plan pin."""
 
 import pytest
 from hypothesis import given, settings, strategies as st
@@ -156,3 +159,89 @@ def test_substring_stats_plan_pins(spark, tmp_path):
     assert plan.count("Window") == 1, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+# ------------------------------------------------ PII + C4 scrub (round 8)
+
+def test_scrub_pii_and_c4_fixture(spark):
+    from sparklead.scrub import c4_filter, redact_pii, scrub_corpus
+
+    rows = [
+        (0, "mail me at bob.smith+x@sub.example.com or 10.0.3.200 now."),
+        (1, "call +49 1234 567890 today!\nshort line\nthis has javascript in it.\nthree words here."),
+        (2, "lorem ipsum dolor sit amet."),
+        (3, "object { brace } here."),
+        (4, None),
+        (5, "999.999.999.999 is not an ip but 255.255.255.255 is."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    red = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert (red[0]["n_emails"], red[0]["n_ipv4"], red[0]["n_phones"]) == (1, 1, 0)
+    assert red[0]["redacted"] == "mail me at <EMAIL> or <IP> now."
+    assert red[1]["n_phones"] == 1 and "<PHONE>" in red[1]["redacted"]
+    # word-boundary: 999 octets do NOT match, valid octets do
+    assert red[5]["n_ipv4"] == 1 and "999.999.999.999" in red[5]["redacted"]
+    assert red[4]["redacted"] is None and red[4]["n_emails"] == 0
+    c4 = {r["doc_id"]: r.asDict() for r in c4_filter(df, min_lines=2).collect()}
+    # line rules: short + javascript lines dropped, terminal-punct kept
+    assert c4[1]["c4_n_lines"] == 4 and c4[1]["c4_kept_lines"] == 2
+    assert c4[1]["c4_keep"] is True
+    assert "javascript" not in c4[1]["c4_text"] and "short line" not in c4[1]["c4_text"]
+    # page rules: lorem ipsum and curly-brace pages dropped outright
+    assert c4[2]["c4_keep"] is False and c4[3]["c4_keep"] is False
+    assert c4[4]["c4_kept_lines"] == 0 and c4[4]["c4_keep"] is False
+    # the composed verb: filter then redact the surviving text
+    out = {r["doc_id"]: r["clean_text"] for r in scrub_corpus(df, min_lines=1).collect()}
+    assert set(out) == {0, 1, 5}
+    assert out[1] == "call <PHONE> today!\nthree words here."
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_scrub_counts_match_python_re(spark, data):
+    """Compose texts from word/email/ip/phone fragments and compare match
+    counts + redaction with Python's re module applying the SAME patterns
+    in the same order (the documented Java/RE2-agreement subset)."""
+    import re
+
+    from sparklead.scrub import EMAIL_RE, IPV4_RE, PHONE_RE, redact_pii
+
+    frag = st.one_of(
+        st.sampled_from(["plain words here", "x.y", "a@b", "w" * 3, "10.0.0", ""]),
+        st.from_regex(r"[a-z]{1,8}@[a-z]{1,8}\.[a-z]{2,4}", fullmatch=True),
+        st.builds(
+            lambda a, b: f"{a % 256}.{b % 256}.{(a * 3) % 256}.{(b * 7) % 256}",
+            st.integers(0, 300),
+            st.integers(0, 300),
+        ),
+        st.builds(lambda n: f"+{n}", st.integers(10_000_000, 10**12)),
+    )
+    texts = data.draw(
+        st.lists(st.lists(frag, min_size=0, max_size=5).map(" ".join), min_size=1, max_size=8)
+    )
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    for i, t in enumerate(texts):
+        exp_red = re.sub(PHONE_RE, "<PHONE>",
+                         re.sub(IPV4_RE, "<IP>", re.sub(EMAIL_RE, "<EMAIL>", t)))
+        assert got[i]["n_emails"] == len(re.findall(EMAIL_RE, t)), repr(t)
+        assert got[i]["n_ipv4"] == len(re.findall(IPV4_RE, t)), repr(t)
+        assert got[i]["n_phones"] == len(re.findall(PHONE_RE, t)), repr(t)
+        assert got[i]["redacted"] == exp_red, repr(t)
+
+
+def test_scrub_plan_is_pure_projection(spark, tmp_path):
+    """Design-for-scale pin: the whole scrub surface is per-row work inside
+    the scan stage — zero exchanges, zero UDFs, column-pruned read."""
+    from sparklead.scrub import c4_filter, redact_pii
+
+    path = str(tmp_path / "docs")
+    rows = [(i, f"word{i} user{i}@example.com ok one.\nshort\nline three here.") for i in range(50)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    t = spark.read.parquet(path)
+    plan = (
+        redact_pii(c4_filter(t).withColumnRenamed("c4_text", "_t"), "_t")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
