@@ -1875,6 +1875,20 @@ def _q_substring_scrub_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_pair_topk_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trainer's distributed leg over the 200k-doc north-rule corpus
+    (bench-only; sparklead/bpe.py — pair counts are DuckDB-certified and
+    the full trainer Python-oracled in tests/test_round8b.py, no gate
+    slot free this round): adjacent-pair zip-shift → explode → ONE hash
+    aggregate with map-side partials → top-20 under the deterministic
+    (cnt desc, a, b) selection order."""
+    from sparklead.bpe import bpe_top_pairs
+
+    _write_packing_bench_input(spark)
+    df = spark.read.parquet(PACKING_BENCH_INPUT)
+    return bpe_top_pairs(df, 20)
+
+
 def _q_drain_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase Drain mining on the synthetic corpus: template table.
 

@@ -59,6 +59,11 @@ HEADLINE = [
     # RENAMED round 8 from "sequence_packing" when the operator graduated to
     # a gated sf-table entry: computation unchanged, r7 values compare 1:1
     "sequence_packing_200k",
+    # round-8 operator: BPE tokenizer-trainer distributed leg (pair stats
+    # + deterministic top-k) over the same 200k corpus; the iterative
+    # trainer itself is bench-exempt (n_merges full scans by design —
+    # tests own its correctness)
+    "bpe_pair_topk_200k",  # private entry fn
     # round-7 operator: per-source token-budget sampling over the same 200k
     # corpus — narrow prefix sum -> eager cutoffs -> broadcast-filter
     # application. RENAMED round 8 from "mixture_sampling" (same 1:1 rename)

@@ -245,3 +245,131 @@ def test_scrub_plan_is_pure_projection(spark, tmp_path):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------ BPE trainer (round 8)
+
+def _py_bpe(docs, n_merges, new_id_start, min_count=2):
+    """From-scratch oracle: pair counts over adjacent positions, (cnt
+    desc, a asc, b asc) selection, greedy left-to-right application."""
+    from collections import Counter
+
+    corpus = {k: (list(v) if v is not None else None) for k, v in docs.items()}
+    merges = []
+    for i in range(n_merges):
+        c = Counter()
+        for v in corpus.values():
+            if v:
+                for x, y in zip(v, v[1:]):
+                    c[(x, y)] += 1
+        if not c:
+            break
+        (a, b), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        m = new_id_start + i
+        merges.append((a, b, m))
+        for k, v in corpus.items():
+            if not v:
+                continue
+            out = []
+            for t in v:
+                if out and out[-1] == a and t == b:
+                    out[-1] = m
+                else:
+                    out.append(t)
+            corpus[k] = out
+    return merges, corpus
+
+
+def test_bpe_fixture_and_greedy_semantics(spark):
+    from sparklead.bpe import apply_merges, bpe_top_pairs, bpe_train
+
+    rows = [
+        (0, [1, 2, 1, 2, 1, 2, 3]),
+        (1, [1, 2, 3, 1, 2]),
+        (2, [5, 5, 5, 5]),   # greedy left-to-right: (5,5)->m gives [m,m]
+        (3, None),
+        (4, [7]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    top = [(r["a"], r["b"], r["cnt"], r["rank"]) for r in bpe_top_pairs(df, 3).collect()]
+    assert top == [(1, 2, 5, 1), (5, 5, 3, 2), (2, 1, 2, 3)]
+    merges, out = bpe_train(df, 3, truncate_every=2)
+    exp_merges, exp_corpus = _py_bpe(dict(rows), 3, 8)
+    assert merges == exp_merges == [(1, 2, 8), (5, 5, 9), (8, 3, 10)]
+    got = {r["doc_id"]: r["tokens"] for r in out.orderBy("doc_id").collect()}
+    assert got == exp_corpus
+    out.sparklead_release_scratch()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    # single-pass table application == the train-time rewrites
+    reapplied = {
+        r["doc_id"]: r["tokens"]
+        for r in apply_merges(df, merges).orderBy("doc_id").collect()
+    }
+    assert reapplied == exp_corpus
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.data())
+def test_bpe_matches_python_oracle(spark, data):
+    from sparklead.bpe import bpe_train
+
+    doc = st.lists(st.integers(min_value=0, max_value=3), min_size=0, max_size=10)
+    toks = data.draw(st.lists(st.one_of(st.none(), doc), min_size=1, max_size=6))
+    docs = {i: t for i, t in enumerate(toks)}
+    n_merges = data.draw(st.integers(min_value=0, max_value=4))
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, tokens array<int>")
+    merges, out = bpe_train(df, n_merges, new_id_start=100, truncate_every=2)
+    exp_merges, exp_corpus = _py_bpe(docs, n_merges, 100)
+    assert merges == exp_merges, (docs, n_merges)
+    got = {r["doc_id"]: r["tokens"] for r in out.collect()}
+    assert got == exp_corpus, (docs, merges)
+    out.sparklead_release_scratch()
+
+
+def test_bpe_pair_counts_duckdb_certification(spark):
+    """Cross-engine certification of the distributed leg (pair explode +
+    hash agg) — DuckDB recomputes every adjacent-pair count from scratch
+    on the synth corpus (no gate slot free; the exemption pattern from
+    round-7 packing, documented in COVERAGE.md)."""
+    import duckdb
+
+    from sparklead.bpe import bpe_pair_counts
+    from sparklead.synth import pretokenized
+
+    docs = pretokenized(spark, 200, partitions=3)
+    got = {
+        (r["a"], r["b"]): r["cnt"] for r in bpe_pair_counts(docs).collect()
+    }
+    pdf = docs.select("doc_id", "tokens").toPandas()
+    con = duckdb.connect()
+    con.register("corpus", pdf)
+    exp = con.execute(
+        """
+        SELECT tokens[i] AS a, tokens[i + 1] AS b, count(*) AS cnt
+        FROM corpus, unnest(CASE WHEN len(tokens) >= 2
+                                 THEN range(1, len(tokens)) ELSE [] END) AS t(i)
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert got == {(a, b): c for a, b, c in exp}
+    assert sum(got.values()) > 0
+
+
+def test_bpe_pair_counts_plan_pin(spark, tmp_path):
+    """Design-for-scale pin: pair stats are ONE hash aggregate with a
+    map-side partial — the exchange carries (a, b, partial_count), never
+    corpus rows; no window, no UDF."""
+    from sparklead.bpe import bpe_pair_counts
+    from sparklead.synth import pretokenized
+
+    path = str(tmp_path / "corpus")
+    pretokenized(spark, 200, partitions=3).write.parquet(path)
+    plan = (
+        bpe_pair_counts(spark.read.parquet(path))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan and "EvalPython" not in plan
