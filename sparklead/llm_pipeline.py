@@ -94,15 +94,30 @@ def run_llm_pipeline(
     fast: bool = True,
     resume: bool = True,
     scratch_dir: str | None = None,
+    scrub: bool = False,
+    scrub_min_words: int = 3,
+    scrub_min_lines: int = 1,
+    substring_l: int | None = None,
 ) -> dict:
     """The composed hygiene-to-batches job. Stages (each a routed sink
     under ``out_dir``, resumable):
 
+      scrubbed — OPTIONAL (``scrub=True``): C4 page/line filter + PII
+                 redaction (sparklead.scrub.scrub_corpus); the surviving
+                 redacted text feeds everything downstream.
+                 ``scrub_min_lines`` defaults to 1 here (single-line
+                 corpora are the norm in tests) — raise it for real
+                 multi-line pages
       dedup    — ``neardup_text_dedup`` (exact -> LSH -> verify ->
                  components -> keep) over the text corpus
       clean    — ``decontaminate`` against ``eval_set`` (n-gram
                  containment >= ``contain_threshold`` drops the doc)
       pretok   — ``tokenize_stage``: the north-rule token table
+      spandedup— OPTIONAL (``substring_l``): exact substring-level dedup
+                 (sparklead.substrings) over the token arrays — duplicate
+                 l-token spans beyond each span's canonical occurrence
+                 are scrubbed; tokens/n_tok are replaced by the cleaned
+                 array (the ExactSubstr placement: post-tokenization)
       sampled  — ``sample_to_token_budget``: per-source budgets =
                  ``budget_frac`` of each surviving source's token total
                  (the fraction defaults to a binary power so budget
@@ -110,10 +125,14 @@ def run_llm_pipeline(
       packed   — ``pack_tokenized`` at ``max_tokens`` with salt-bounded
                  sequential units
 
+    Both optional stages default OFF so the 5-stage manifest set (and the
+    llm_pipeline_e2e bench line) stays round-over-round comparable.
+
     Returns {"manifests": {stage: manifest}, "stats": lazy per-pack
     fill-stats frame over the packed sink, "wall_sec": float}. Budgets are
-    computed from the PRETOK sink (post-hygiene totals), so the mixture is
-    defined over what survived cleaning — the standard recipe ordering.
+    computed from the last pre-mixture token sink (post-hygiene totals),
+    so the mixture is defined over what survived cleaning — the standard
+    recipe ordering.
     """
     spark = docs.sparkSession
     t0 = time.time()
@@ -138,6 +157,17 @@ def run_llm_pipeline(
 
     def _read(name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(out_dir, name))
+
+    if scrub:
+        from sparklead.scrub import scrub_corpus
+
+        _stage(
+            "scrubbed",
+            lambda: scrub_corpus(
+                docs, text_col, min_words=scrub_min_words, min_lines=scrub_min_lines
+            ).select(key_col, F.col("clean_text").alias(text_col), source_col),
+        )
+        docs = _read("scrubbed")
 
     deduped_frame = _stage(
         "dedup",
@@ -169,6 +199,21 @@ def run_llm_pipeline(
         "pretok", lambda: tokenize_stage(clean, text_col, key_col, source_col, vocab_size)
     )
     pretok = _read("pretok")
+
+    if substring_l is not None:
+        from sparklead.substrings import scrub_duplicate_substrings
+
+        _stage(
+            "spandedup",
+            lambda: scrub_duplicate_substrings(pretok, l=substring_l, key_col=key_col)
+            .select(
+                key_col,
+                F.col("clean_tokens").alias("tokens"),
+                F.col("n_clean_tok").cast("int").alias("n_tok"),
+                source_col,
+            ),
+        )
+        pretok = _read("spandedup")
 
     def _mixture():
         totals = pretok.groupBy(source_col).agg(F.sum("n_tok").alias("t")).collect()

@@ -373,3 +373,58 @@ def test_bpe_pair_counts_plan_pin(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_count" in plan, plan
     assert "Window" not in plan and "EvalPython" not in plan
+
+
+# ---------------------------------------- full-hygiene composed pipeline
+
+def test_llm_pipeline_full_hygiene_stages(spark, tmp_path):
+    """The two round-8 optional stages wired into the composed job:
+    scrubbed (C4 + PII) ahead of dedup, spandedup (ExactSubstr) after
+    tokenize. Defaults-off keeps the 5-stage manifest set; here both are
+    ON: 7 sinks, lorem pages dropped, PII redacted before tokenize,
+    duplicated boilerplate spans scrubbed from the token table, and the
+    whole thing resumes."""
+    from sparklead.llm_pipeline import run_llm_pipeline
+
+    spark.catalog.clearCache()
+    boiler = "common boiler plate words shared by every single doc here."
+    rows = []
+    for i in range(60):
+        uniq = " ".join(f"u{i}x{j}" for j in range(8))
+        text = f"{uniq} line one.\n{boiler}"
+        if i == 5:
+            text += "\nlorem ipsum dolor tail."
+        if i == 7:
+            text = text.replace(" line one.", " mail user7@example.com line one.")
+        rows.append((i, text, f"src{i % 2}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    ev = docs.filter(F.col("doc_id") == 3).select("text")
+    out_dir = str(tmp_path / "pipe8")
+    res = run_llm_pipeline(
+        docs, ev, out_dir, budget_frac=0.5, max_tokens=32,
+        salt_buckets=4, dedup_threshold=0.9, ngram_n=5,
+        scrub=True, substring_l=8,
+    )
+    assert set(res["manifests"]) == {
+        "scrubbed", "dedup", "clean", "pretok", "spandedup", "sampled", "packed"
+    }
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    scrubbed = {r["doc_id"]: r["text"] for r in spark.read.parquet(out_dir + "/scrubbed").collect()}
+    assert 5 not in scrubbed                      # lorem page dropped
+    assert "<EMAIL>" in scrubbed[7] and "@" not in scrubbed[7]
+    # spandedup: the shared boilerplate spans scrub down to ONE canonical
+    # copy corpus-wide, so the token mass drops by ~(n_docs-1) sentences
+    pre = spark.read.parquet(out_dir + "/pretok")
+    span = spark.read.parquet(out_dir + "/spandedup")
+    pre_tok = pre.agg(F.sum("n_tok")).first()[0]
+    span_tok = span.agg(F.sum("n_tok")).first()[0]
+    assert span_tok < pre_tok - 40 * 8            # real mass removed
+    assert span.filter(F.size("tokens") != F.col("n_tok")).count() == 0
+    # every pack respects the budget; resume touches nothing
+    assert all(r["n_tokens"] <= 32 for r in res["stats"].collect())
+    res2 = run_llm_pipeline(
+        docs, ev, out_dir, budget_frac=0.5, max_tokens=32,
+        salt_buckets=4, dedup_threshold=0.9, ngram_n=5,
+        scrub=True, substring_l=8,
+    )
+    assert all(m.get("resumed") for m in res2["manifests"].values())
