@@ -158,7 +158,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_signatures": _q_dedup_signatures,
         "substring_dedup": _q_substring_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "knn_cosine": _q_knn_cosine,
+        # round-8 gate-slot consolidation #3: knn_cosine (brute-force NN
+        # baseline) merged into ivf_topk as a third tagged method — same
+        # embeddings table, same pair grain, same verification layers —
+        # funding the bpe_pair_topk slot; the standalone bench line stays
+        "bpe_pair_topk": _q_bpe_pair_topk,
         "embedding_mean_by_label": _q_embedding_mean_by_label,
         "decontamination": _q_decontamination,
         # round-8 graduations (round-7 verdict #1): the LLM-pipeline trio's
@@ -1232,8 +1236,30 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trainer's distributed leg, GATED (round 8; slot funded by the
+    knn_cosine -> ivf_topk merge): corpus-wide adjacent-pair counts +
+    the deterministic (cnt desc, a, b) top-50 selection with rank —
+    exactly the statistics/selection layers ``bpe_train`` iterates on.
+    The fixture derives int tokens 1:1 from the documents table as WORD
+    LENGTHS (both engines compute length() identically — the md5-lane
+    trick for an integer alphabet), whose small range makes the pair
+    distribution collision-rich and the top-k non-trivial. DuckDB
+    recomputes every pair count and the rank order from scratch. The
+    greedy merge-application fold stays Python-oracled + DuckDB-certified
+    in tests/test_round8b.py (per-doc recursive replay)."""
+    from sparklead.bpe import bpe_top_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.transform(F.split("text", " "), lambda w: F.length(w).cast("int"))
+    pre = _fan(docs.select("doc_id", toks.alias("tokens")))
+    return bpe_top_pairs(pre, 50)
+
+
 def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for query vecs (ANN baseline).
+    Round 8: the GATE entry merged into ivf_topk (third tagged method);
+    this stays as the 1:1-comparable standalone bench line.
 
     No _fan (round-4 A/B, tools/fan_ab.py): fanned 0.996 s vs plain 0.967 s
     median-of-5 at sf0.1/local[32] — indistinguishable, because the NLJ
@@ -1288,7 +1314,21 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("lsh_banded").alias("method"),
             "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"),
         )
-        ivf.unionByName(lsh).write.mode("overwrite").parquet(IVF_TOPK_OUTPUT)
+        # round-8 gate merge: the brute-force baseline (the former
+        # knn_cosine entry, standalone BENCH line kept) rides the same
+        # frame as a third tagged method — every downstream layer
+        # (cosine recompute, rank re-derivation, recall flag) applies to
+        # it unchanged on both engines, and its in_exact_topk is exact
+        # by construction (a visible self-consistency pin)
+        from sparklead.similarity import brute_force_topk
+
+        brute = brute_force_topk(q, emb, k=3).select(
+            F.lit("brute").alias("method"),
+            "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"),
+        )
+        ivf.unionByName(lsh).unionByName(brute).write.mode("overwrite").parquet(
+            IVF_TOPK_OUTPUT
+        )
         _ivf_topk_written_for = sf_dir
     mat = spark.read.parquet(IVF_TOPK_OUTPUT)
     qe = emb.filter(F.col("vec_id") < 10).select(
@@ -3073,20 +3113,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.sh, b.sh))
                   / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)::double > 0.2
         """,
-        "knn_cosine": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-            scored AS (
-              SELECT q.query_id, c.vec_id AS neighbor_id,
-                     list_dot_product(q.qv::DOUBLE[], c.embedding::DOUBLE[])
-                       / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
-                          * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cosine
-              FROM q JOIN embeddings c ON q.query_id <> c.vec_id
-            )
-            SELECT query_id, neighbor_id, rank FROM (
-              SELECT query_id, neighbor_id,
-                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-              FROM scored
-            ) WHERE rank <= 3
+        # round-8: the former knn_cosine oracle's layers live on inside
+        # ivf_topk (method='brute'); this slot now gates the BPE trainer's
+        # distributed leg — pair counts + deterministic top-k recomputed
+        # from scratch over word-length int tokens
+        "bpe_pair_topk": """
+            WITH tok AS (
+              SELECT doc_id,
+                     [length(x) FOR x IN string_split(text, ' ')] AS toks
+              FROM documents
+            ),
+            pairs AS (
+              SELECT toks[i] AS a, toks[i + 1] AS b
+              FROM tok, unnest(CASE WHEN len(toks) >= 2
+                                    THEN range(1, len(toks)) ELSE [] END) AS t(i)
+            ),
+            cnt AS (SELECT a, b, count(*) AS cnt FROM pairs GROUP BY a, b)
+            SELECT a, b, cnt, rank FROM (
+              SELECT a, b, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS rank
+              FROM cnt
+            ) WHERE rank <= 50
         """,
         "embedding_mean_by_label": """
             SELECT label, pos, round(avg(x), 6) AS mean_x FROM (

@@ -70,7 +70,10 @@ def test_queries_run_at_sf0001(spark, sf_dir):
     #                    PARTITION (the per-partition subtotal agg)
     #   auc_threshold  — ROC/threshold sweep over the quantized score
     #                    histogram, <= 2e6+1 bins for ANY score distribution
-    order_only_bounded = {"item_cumsum", "auc_threshold"}
+    #   bpe_pair_topk  — rank window AFTER limit(k): touches exactly k=50
+    #                    rows by construction (bpe_top_pairs' documented
+    #                    bound), never the pair-count frame itself
+    order_only_bounded = {"item_cumsum", "auc_threshold", "bpe_pair_topk"}
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().optimizedPlan().toString()

@@ -428,3 +428,48 @@ def test_llm_pipeline_full_hygiene_stages(spark, tmp_path):
         scrub=True, substring_l=8,
     )
     assert all(m.get("resumed") for m in res2["manifests"].values())
+
+
+def test_bpe_merge_application_duckdb_recursive_replay(spark):
+    """Cross-engine certification of the GREEDY FOLD itself (the
+    packing-oracle pattern): DuckDB replays merge application item by
+    item via a RECURSIVE CTE — same left-to-right recurrence, same
+    overlapping-pair rule — over the synth corpus with the trainer's own
+    top-3 learned rules chained in priority order."""
+    import duckdb
+
+    from sparklead.bpe import apply_merges, bpe_train
+    from sparklead.synth import pretokenized
+
+    docs = pretokenized(spark, 150, partitions=2).select("doc_id", "tokens")
+    merges, out = bpe_train(docs, 3, truncate_every=10)
+    assert len(merges) == 3
+    got = {r["doc_id"]: r["tokens"] for r in apply_merges(docs, merges).collect()}
+    out.sparklead_release_scratch()
+
+    con = duckdb.connect()
+    con.register("corpus", docs.toPandas())
+    prev = "corpus"
+    ctes = []
+    for j, (a, b, m) in enumerate(merges):
+        ctes.append(f"""
+        s{j} AS (
+          SELECT doc_id, 1 AS i, []::INT[] AS out, tokens FROM {prev}
+          UNION ALL
+          SELECT doc_id, i + 1,
+                 CASE WHEN len(out) > 0 AND out[-1] = {a} AND tokens[i] = {b}
+                      THEN list_concat(out[:len(out) - 1], [{m}])
+                      ELSE list_append(out, tokens[i]) END,
+                 tokens
+          FROM s{j} WHERE i <= len(tokens)
+        ),
+        r{j} AS (
+          SELECT doc_id, out AS tokens FROM s{j} WHERE i = len(tokens) + 1
+        )""")
+        prev = f"r{j}"
+    sql = "WITH RECURSIVE " + ",".join(ctes) + f" SELECT doc_id, tokens FROM {prev}"
+    exp = {d: list(t) for d, t in con.execute(sql).fetchall()}
+    assert got == exp
+    # non-vacuous: the rules actually merged something somewhere
+    base = {r["doc_id"]: r["tokens"] for r in docs.collect()}
+    assert any(got[k] != base[k] for k in got)
