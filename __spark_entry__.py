@@ -3043,8 +3043,10 @@ def oracle_sql() -> dict[str, str]:
             tok AS (SELECT doc_id, string_split(text, ' ') AS toks,
                            len(string_split(text, ' ')) AS n FROM corpus),
             pos AS (
+              -- length-prefixed gram encoding, matching window_hashes'
+              -- injective md5 lane (round-8 review fix)
               SELECT doc_id, i - 1 AS pos,
-                     md5(array_to_string(toks[i:i+7], ' ')) AS g
+                     md5(array_to_string([length(x) || ':' || x FOR x IN toks[i:i+7]], '|')) AS g
               FROM tok, unnest(CASE WHEN n >= 8 THEN range(1, n - 6) ELSE [] END) AS t(i)
             ),
             ranked AS (

@@ -122,10 +122,14 @@ def scrub_corpus(
 ) -> DataFrame:
     """The pipeline verb: C4 page filter + PII redaction of the surviving
     text. Returns kept pages only, with ``clean_text`` = the redacted,
-    line-filtered text and the evidence counts."""
+    line-filtered text and the evidence counts. The ORIGINAL text column
+    is DROPPED: the returned frame is the clean corpus, and a frame that
+    claims to be redacted must not carry the raw PII payload alongside
+    the sentinels (round-8 review finding — writing this frame to a
+    clean sink used to persist every raw email/IP next to `<EMAIL>`)."""
     c4 = c4_filter(df, text_col, min_words, min_lines).filter(F.col("c4_keep"))
     red = redact_pii(c4.withColumnRenamed("c4_text", "_c4t"), "_c4t")
     return (
         red.withColumnRenamed("redacted", "clean_text")
-        .drop("_c4t", "c4_keep")
+        .drop("_c4t", "c4_keep", text_col)
     )

@@ -73,8 +73,19 @@ def window_hashes(tokens_col: str | Column, l: int, fast: bool = True) -> Column
         gram = lambda i: F.xxhash64(F.slice(toks, i, l))  # noqa: E731
         elem = "bigint"
     else:
+        # length-prefixed join (netstring-style): INJECTIVE for arbitrary
+        # string tokens — a plain ' '-join would make ['a b','c'] collide
+        # with ['a','b c'] and wrongly scrub non-duplicate spans (round-8
+        # review finding). NULL elements inside a token array are out of
+        # contract (whitespace splits never produce them).
         gram = lambda i: F.md5(  # noqa: E731
-            F.array_join(F.slice(toks, i, l).cast("array<string>"), " ")
+            F.array_join(
+                F.transform(
+                    F.slice(toks, i, l).cast("array<string>"),
+                    lambda x: F.concat(F.length(x).cast("string"), F.lit(":"), x),
+                ),
+                "|",
+            )
         )
         elem = "string"
     return F.when(
@@ -101,11 +112,13 @@ def duplicate_window_positions(
         F.posexplode(window_hashes(tokens_col, l, fast)).alias("_pos", "_g"),
     )
     w = Window.partitionBy("_g").orderBy("_k", "_pos")
-    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # row_number > 1 alone IS the duplicate condition (a rank-2 row only
+    # exists in a partition of size >= 2) — an explicit count-over-
+    # unbounded-frame window would buffer every gram partition for a
+    # condition it cannot change (round-8 review finding)
     return (
-        pos.withColumn("_c", F.count(F.lit(1)).over(full))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_c") >= 2) & (F.col("_rn") > 1))
+        pos.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
         .select(F.col("_k").alias(key_col), F.col("_pos").alias("pos"))
     )
 
