@@ -115,9 +115,11 @@ def test_decontamination_single_corpus_scan(spark, sf_dir):
     df = entrymod._q_decontamination(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("documents.parquet")
-    # eval set (2 filtered scans) + corpus (1) = 3; a totals re-scan would
-    # make it 4+
-    assert n_scans <= 3, f"corpus scanned more than once:\n{plan[:4000]}"
+    # eval set (2 filtered scans) + corpus (1) = 3; round 8 adds the
+    # PII/C4 rider's own per-doc projection branch (+1, a deliberate
+    # same-grain gate merge — the CONTAINMENT lane itself still scans
+    # once). A totals re-scan in the containment lane would make it 5+.
+    assert n_scans <= 4, f"corpus scanned more than once:\n{plan[:4000]}"
     # the eval-gram set must reach the corpus stream as a BROADCAST build
     # side — a sort-merge join here would shuffle every corpus gram on its
     # hash, the exact shape the operator exists to avoid at 100 TB
