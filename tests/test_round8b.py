@@ -473,3 +473,57 @@ def test_bpe_merge_application_duckdb_recursive_replay(spark):
     # non-vacuous: the rules actually merged something somewhere
     base = {r["doc_id"]: r["tokens"] for r in docs.collect()}
     assert any(got[k] != base[k] for k in got)
+
+
+def test_scrub_composes_with_structured_streaming(spark, tmp_path):
+    """The scrub surface is stateless per-row projection, so it composes
+    with readStream UNCHANGED (the streaming/pipeline.py contract for
+    enhancer expressions): a file stream through c4_filter + redact_pii
+    produces exactly the batch result."""
+    import time
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sparklead.scrub import c4_filter, redact_pii
+
+    in_dir = str(tmp_path / "stream_in")
+    rows = [
+        (0, "mail bob@example.com three words here.\nshort"),
+        (1, "lorem ipsum dolor sit amet."),
+        (2, "plain page with enough words here.\ncall +4912345678 now ok!"),
+    ]
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.write.parquet(in_dir)
+
+    def xform(df):
+        return redact_pii(
+            c4_filter(df, min_lines=1).withColumnRenamed("c4_text", "_t"), "_t"
+        ).select("doc_id", "c4_kept_lines", "c4_keep", "n_emails", "n_phones",
+                 F.col("redacted").alias("clean_text"))
+
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        xform(stream)
+        .writeStream.format("memory")
+        .queryName("scrub_stream_r8")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table("scrub_stream_r8").count() == len(rows):
+                break
+            time.sleep(0.5)
+        got = {r["doc_id"]: r.asDict() for r in spark.table("scrub_stream_r8").collect()}
+    finally:
+        q.stop()
+    exp = {r["doc_id"]: r.asDict() for r in xform(batch_df).collect()}
+    assert got == exp
+    assert got[0]["n_emails"] == 1 and "<EMAIL>" in got[0]["clean_text"]
+    assert got[1]["c4_keep"] is False
+    assert got[2]["n_phones"] == 1
