@@ -26,11 +26,15 @@ recomputes all of it from scratch):
 Design for 100 TB:
 * ONE corpus scan for detection: per-row window-gram hashes (a codegen
   ``transform`` over ``sequence``), ``posexplode``, then a SINGLE window
-  exchange partitioned by gram computing occurrence count and canonical
-  rank in one sort (``count`` and ``row_number`` share the ordered spec,
-  so Catalyst plans one Window over one Exchange) — no self-join, no
-  second hash pass, nothing quadratic. The shuffle carries (gram, key,
-  pos): ~20 bytes per corpus token on the fast lane.
+  exchange partitioned by gram computing the canonical rank in one sort
+  — no self-join, no second hash pass, nothing quadratic. The shuffle
+  carries (gram, key, pos): ~20 bytes per corpus token on the fast
+  lane. MEASURED against the groupBy+join alternative at 2M docs
+  (tools/substr_lane_ab.py): the window lane wins 1.65x on wall and
+  2.24x on shuffle with identical values — near-unique gram keys make
+  the agg's hash table data-sized (it spills through sorted runs
+  anyway) while paying a second corpus scan and a gram-keyed join
+  shuffle on top (BENCH.md round-8b).
 * the span merge aggregates only DUPLICATE occurrences (dup-volume-sized,
   not corpus-sized) with map-side partials on the doc key.
 * ``scrub_duplicate_substrings`` joins the doc-sized span frame back to
