@@ -1331,12 +1331,26 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _ivf_topk_written_for = sf_dir
     mat = spark.read.parquet(IVF_TOPK_OUTPUT)
+    from sparklead.similarity import cosine_prenorm, norm_expr
+
+    # norms once per row below the NLJ (round-9 cosine_prenorm restructure —
+    # bit-identical recompute values, one O(dim) fold per pair instead of 3)
     qe = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm_expr(F.col("embedding")).alias("_qn"),
     )
-    ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        norm_expr(F.col("embedding")).alias("_nn"),
+    )
     scored = ne.join(broadcast(qe), F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("nv")).alias("cos_re")
+        "query_id",
+        "neighbor_id",
+        cosine_prenorm(F.col("qv"), F.col("nv"), F.col("_qn"), F.col("_nn")).alias(
+            "cos_re"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_re").desc(), F.col("neighbor_id").asc())
     kth = (

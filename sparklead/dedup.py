@@ -931,13 +931,35 @@ def embedding_neardup(
     is 1.0 by construction; near-dups at ``threshold`` are recalled when any
     one band's planes all agree (tune n_bands/planes_per_band for the
     recall/candidate-volume trade)."""
-    from sparklead.similarity import cosine_expr
+    from sparklead.similarity import cosine_prenorm, norm_expr
 
     cand = embedding_neardup_candidates(df, emb_col, key_col, n_bands, planes_per_band, max_bucket, dim)
-    emb = df.select(F.col(key_col).alias("id"), F.col(emb_col).alias("v"))
+    # norms once per ROW below the joins (round-9, the cosine_prenorm
+    # restructure — bit-identical values, 3 -> 1 O(dim) folds per pair)
+    emb = df.select(
+        F.col(key_col).alias("id"),
+        F.col(emb_col).alias("v"),
+        norm_expr(F.col(emb_col)).alias("nv"),
+    )
     return (
-        cand.join(emb.select(F.col("id").alias("a_id"), F.col("v").alias("va")), "a_id")
-        .join(emb.select(F.col("id").alias("b_id"), F.col("v").alias("vb")), "b_id")
-        .select("a_id", "b_id", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        cand.join(
+            emb.select(
+                F.col("id").alias("a_id"), F.col("v").alias("va"), F.col("nv").alias("na")
+            ),
+            "a_id",
+        )
+        .join(
+            emb.select(
+                F.col("id").alias("b_id"), F.col("v").alias("vb"), F.col("nv").alias("nb")
+            ),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            cosine_prenorm(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias(
+                "cosine"
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
     )
