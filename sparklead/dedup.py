@@ -529,6 +529,59 @@ def with_simhash_md5(
 # driver-OOM depth (~16 rounds at 8 g).
 _TRUNCATE_EVERY = 8
 
+# Pair graphs at or below this edge count resolve driver-side (see
+# neardup_components). Sized like a broadcast threshold: 100k edges is a
+# few MB of driver rows — the same order as the cutoff/template collects
+# this library already makes — while every label-propagation round the
+# loop would otherwise run costs a fixed multi-stage job wave.
+SMALL_GRAPH_EDGES = 100_000
+
+
+def _small_graph_components(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Exact driver-side resolution for SMALL pair graphs: union-find with
+    path compression over the collected edge list, labels = the minimum id
+    reachable — value-identical to the converged label-propagation loop
+    (which computes the same min-reachable-id fixpoint), with none of the
+    loop's per-round job waves. Returns the contract frame: PERSISTED
+    (id, component) with the ids' dtype, plus a no-op
+    ``sparklead_release_scratch``."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = pairs.select(a_col, b_col).collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    verts = set()
+    for r in rows:
+        a, b = r[0], r[1]
+        verts.add(a)
+        verts.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min root so the root IS the component min — Python
+            # and Spark order ints identically, and UTF-8 binary order
+            # (Spark string min) equals code-point order (Python min)
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    id_type = pairs.schema[a_col].dataType
+    schema = StructType(
+        [StructField("id", id_type), StructField("component", id_type)]
+    )
+    out = pairs.sparkSession.createDataFrame(
+        [(v, find(v)) for v in sorted(verts)], schema
+    ).persist()
+    out.count()
+    out.sparklead_release_scratch = lambda: None
+    return out
+
 
 def neardup_components(
     pairs: DataFrame,
@@ -536,6 +589,7 @@ def neardup_components(
     b_col: str = "b_id",
     max_iter: int = 20,
     scratch_dir: str | None = None,
+    small_graph_edges: int | None = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate GROUPS: (id, component).
 
@@ -597,6 +651,25 @@ def neardup_components(
     passed through transformations (DataFrame attributes don't propagate).
     """
     import warnings
+
+    # SMALL-GRAPH FAST PATH (round-9): near-dup pair graphs are usually
+    # TINY relative to the corpus (pairs exist only where LSH+verify found
+    # real near-dups), while every propagation round below costs a fixed
+    # multi-stage job wave — measured 4.8 s of the 10.3 s neardup bench
+    # line for a graph that converges in 2 rounds. When the edge count is
+    # at or below ``small_graph_edges``, collect the edges and resolve
+    # exactly with union-find (labels identical: the same min-reachable-id
+    # fixpoint; pinned against the loop in tests/test_round9.py). This is
+    # the broadcast-join philosophy applied to the component step — a
+    # bounded, threshold-guarded driver collect, the same size class as
+    # the library's documented cutoff/template collects. The count costs
+    # one evaluation of ``pairs``, which the documented callers
+    # (neardup_text_dedup, the gate entries) already hold persisted or as
+    # literal rows; pass ``small_graph_edges=None`` to skip straight to
+    # the distributed loop when the pair frame is expensive and known big.
+    if small_graph_edges:
+        if pairs.count() <= small_graph_edges:
+            return _small_graph_components(pairs, a_col, b_col)
 
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

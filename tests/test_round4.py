@@ -222,7 +222,10 @@ def test_neardup_components_adversarial_chain(spark):
     converge — the truncated result must (a) warn, (b) err on the
     UNDER-dedup side (multiple labels for one true group), and (c) leave
     only the returned labels persisted (balanced per-iteration
-    persist/unpersist). A large-enough max_iter converges with no warning."""
+    persist/unpersist). A large-enough max_iter converges with no warning.
+    Round-9: targets the distributed LOOP lane explicitly
+    (small_graph_edges=None) — the default small-graph fast path resolves
+    tiny graphs exactly and never truncates (tests/test_round9.py)."""
     from sparklead.dedup import neardup_components
 
     n = 14  # chain 0-1-2-...-13 (13 hops)
@@ -231,7 +234,7 @@ def test_neardup_components_adversarial_chain(spark):
     )
     spark.catalog.clearCache()
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        labels = neardup_components(pairs, max_iter=3)
+        labels = neardup_components(pairs, max_iter=3, small_graph_edges=None)
         comps = {r["id"]: r["component"] for r in labels.collect()}
     # truncation = under-dedup: more than one component label survives,
     # but label 0 has propagated exactly max_iter hops
@@ -247,7 +250,7 @@ def test_neardup_components_adversarial_chain(spark):
 
     with _w.catch_warnings():
         _w.simplefilter("error", RuntimeWarning)
-        labels2 = neardup_components(pairs, max_iter=n)
+        labels2 = neardup_components(pairs, max_iter=n, small_graph_edges=None)
         assert {r["component"] for r in labels2.collect()} == {0}
     labels2.unpersist()
     # diameter == max_iter exactly: the LAST round makes the converging
@@ -255,7 +258,7 @@ def test_neardup_components_adversarial_chain(spark):
     short = spark.range(3).select(F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id"))
     with _w.catch_warnings():
         _w.simplefilter("error", RuntimeWarning)
-        labels3 = neardup_components(short, max_iter=3)
+        labels3 = neardup_components(short, max_iter=3, small_graph_edges=None)
         assert {r["component"] for r in labels3.collect()} == {0}
     labels3.unpersist()
 

@@ -1,0 +1,99 @@
+"""Round-9 optimization pins: the small-graph union-find fast path must be
+value-identical to the distributed label-propagation loop, and the
+cosine_prenorm restructure bit-identical to cosine_expr."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _labels_dict(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_small_graph_components_match_loop(spark):
+    """neardup_components' round-9 driver fast path (union-find) and the
+    distributed propagation loop compute the same min-reachable-id labels
+    on a random graph with chains, stars, singleton pairs and a cycle."""
+    from sparklead.dedup import neardup_components
+
+    rng = random.Random(9)
+    edges = set()
+    # chains of varying length
+    base = 0
+    for ln in (2, 3, 5, 9):
+        for i in range(ln - 1):
+            edges.add((base + i, base + i + 1))
+        base += 100
+    # stars
+    for c in (1000, 2000):
+        for k in range(1, 8):
+            edges.add((c, c + k))
+    # a cycle
+    edges |= {(3000, 3001), (3001, 3002), (3000, 3002)}
+    # random extra edges
+    for _ in range(60):
+        a, b = rng.randrange(0, 4000), rng.randrange(0, 4000)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in sorted(edges)], "a_id long, b_id long"
+    )
+    fast = neardup_components(pairs)  # small_graph_edges default covers this
+    fast_labels = _labels_dict(fast)
+    fast.unpersist()
+    loop = neardup_components(pairs, small_graph_edges=None)
+    loop_labels = _labels_dict(loop)
+    loop.unpersist()
+    assert fast_labels == loop_labels
+    # schema parity: same column names and id dtype as the loop lane
+    assert [f.name for f in fast.schema.fields] == ["id", "component"]
+    assert [f.dataType for f in fast.schema.fields] == [
+        f.dataType for f in loop.schema.fields
+    ]
+
+
+def test_small_graph_components_string_ids(spark):
+    """String keys order identically driver-side and in Spark (UTF-8 binary
+    == code-point order), so the min-id representative matches."""
+    from sparklead.dedup import neardup_components
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "a_id string, b_id string"
+    )
+    fast = neardup_components(pairs)
+    labels = _labels_dict(fast)
+    fast.unpersist()
+    assert labels == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_small_graph_components_empty(spark):
+    from sparklead.dedup import neardup_components
+
+    pairs = spark.createDataFrame([], "a_id long, b_id long")
+    fast = neardup_components(pairs)
+    assert fast.count() == 0
+    fast.unpersist()
+
+
+def test_cosine_prenorm_bit_identical(spark):
+    """cosine_prenorm(a, b, norm(a), norm(b)) must equal cosine_expr(a, b)
+    EXACTLY (same fold, same product order) — the round-9 restructure only
+    moves where the norms are evaluated, never what is computed."""
+    from sparklead.similarity import cosine_expr, cosine_prenorm, norm_expr
+
+    rng = random.Random(42)
+    rows = [
+        ([rng.uniform(-1, 1) for _ in range(16)], [rng.uniform(-1, 1) for _ in range(16)])
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    out = df.select(
+        cosine_expr(F.col("a"), F.col("b")).alias("c1"),
+        cosine_prenorm(
+            F.col("a"), F.col("b"), norm_expr(F.col("a")), norm_expr(F.col("b"))
+        ).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"]  # bitwise float equality, not approx
