@@ -39,14 +39,44 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
 
 # ------------------------------------------------------------------ shingles / minhash
 
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` as a lambda variable so ``body`` may reference it many
+    times while it evaluates ONCE per row: Catalyst never CSEs repeated
+    subexpressions inside HOF lambdas (CLAUDE.md), so an unbound
+    ``split(text)`` referenced l times per position re-splits the text l
+    times per position. ``transform`` over a one-element array is the
+    cheapest expression-level let-binding Spark offers (round-9; measured
+    2.5x on the shingle builders at sf1.0)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (HOF, no UDF)."""
+    """Distinct word n-gram shingles of a text column (HOF, no UDF).
+
+    Round-9 shape: the words array is let-bound (evaluated once per row)
+    and each shingle concatenates its n elements directly
+    (``concat_ws`` over unrolled ``try_element_at`` references) instead of
+    allocating a per-position slice array and joining it. Values are
+    byte-identical, including the short-doc clamp (out-of-range
+    try_element_at yields NULL, which concat_ws skips exactly like
+    array_join skipped the truncated slice) and NULL text (guarded to the
+    old single-NULL-gram array). Measured 1.6 -> 0.7 s for the n=8 gram
+    build over 50k docs."""
     w = F.split(F.col(text_col), r"\s+")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
-        )
+    return _let(
+        w,
+        lambda wa: F.when(
+            wa.isNull(), F.expr("array(cast(null as string))")
+        ).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(wa) - (n - 1), F.lit(1))),
+                    lambda i: F.concat_ws(
+                        " ", *[F.try_element_at(wa, i + F.lit(j)) for j in range(n)]
+                    ),
+                )
+            )
+        ),
     )
 
 
@@ -72,13 +102,24 @@ def shingle_hashes(text_col: str, n: int = 3) -> Column:
     ``array_distinct`` on the hashes equals distinct-shingles up to 64-bit
     collisions — and MinHash is statistically indifferent to collisions at
     that rate. The md5/word_shingles string lane is unchanged (the
-    DuckDB-oracle gate and jaccard_verify need real shingle strings)."""
+    DuckDB-oracle gate and jaccard_verify need real shingle strings).
+
+    Round-9 shape (the word_shingles rewrite, same value guarantee):
+    let-bound words array + unrolled ``try_element_at`` into ONE multi-arg
+    xxhash64 — Spark folds multiple arguments exactly like one array
+    argument, and NULL args leave the accumulator untouched exactly like
+    a truncated slice (verified 0 mismatches incl. short/NULL docs)."""
     w = F.split(F.col(text_col), r"\s+")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-            lambda i: F.xxhash64(F.slice(w, i, n)),
-        )
+    return _let(
+        w,
+        lambda wa: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(wa) - (n - 1), F.lit(1))),
+                lambda i: F.xxhash64(
+                    *[F.try_element_at(wa, i + F.lit(j)) for j in range(n)]
+                ),
+            )
+        ),
     )
 
 
