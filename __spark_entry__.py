@@ -784,6 +784,12 @@ def _q_token_count_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- §2.10 detectors
 
 def _train_test_docs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    # round-9 note: _fan was A/B'd here and LOST (1.70 -> 2.25 s median):
+    # rarity+oov reference this frame through FOUR branches (fit, score,
+    # vocab, oov score), so a fan pays four round-robin exchanges of the
+    # corpus while each branch's explode feeds a partial agg whose shuffle
+    # was the plan's real cost anyway (the "don't fan cheap hash-aggs"
+    # rule, CLAUDE.md).
     docs = _read(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("e_words"))
     return docs.filter(F.col("doc_id") % 5 != 0), docs.filter(F.col("doc_id") % 5 == 0)
 
@@ -1528,7 +1534,11 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # line, every 13th a curly-brace line (page-level drops). DuckDB
     # recomputes the page construction, the line filter, the keep flag,
     # the match counts, and the redacted text verbatim.
-    return base.join(_scrub_rider(docs), "doc_id")
+    # round-9: _fan the rider branch too — its input is the raw single-
+    # row-group scan, so the whole page-build + 6-regex surface ran on ONE
+    # core (measured 2.9 s single-core vs 0.7 s fanned for the identical
+    # standalone pii_c4_scrub line); values are row-wise, unchanged
+    return base.join(_scrub_rider(_fan(docs)), "doc_id")
 
 
 def _scrub_rider(docs: DataFrame) -> DataFrame:
@@ -1872,7 +1882,12 @@ def _q_mixture_sampling_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(PACKING_BENCH_INPUT)
     totals = df.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
     budgets = {r["source"]: int(r["t"] * 0.25) for r in totals}
-    out = sample_to_token_budget(df, budgets)
+    # round-9: the exact totals this budget derivation just aggregated
+    # also determine the per-source cumsum offsets — pass them through so
+    # the cutoff stage skips its offsets-window job (same integers)
+    out = sample_to_token_budget(
+        df, budgets, source_totals={r["source"]: int(r["t"]) for r in totals}
+    )
     return out.groupBy("source").agg(
         F.count("*").alias("kept_docs"),
         F.sum("n_tok").cast("bigint").alias("kept_tokens"),
@@ -1902,9 +1917,12 @@ def _q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = pretok.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
     budgets = {r["source"]: int(r["t"] * 0.25) for r in totals}
-    return sample_to_token_budget(pretok, budgets, fast=False).select(
-        "doc_id", "source", "n_tok"
-    )
+    return sample_to_token_budget(
+        pretok,
+        budgets,
+        fast=False,
+        source_totals={r["source"]: int(r["t"]) for r in totals},
+    ).select("doc_id", "source", "n_tok")
 
 
 def _q_substring_scrub_200k(spark: SparkSession, sf_dir: str) -> DataFrame:

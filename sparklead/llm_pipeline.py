@@ -218,9 +218,12 @@ def run_llm_pipeline(
     def _mixture():
         totals = pretok.groupBy(source_col).agg(F.sum("n_tok").alias("t")).collect()
         budgets = {r[source_col]: int(r["t"] * budget_frac) for r in totals}
+        # round-9: the exact totals feed the cutoff offsets too — skips
+        # the offsets-window job inside token_budget_cutoffs
         return sample_to_token_budget(
             pretok, budgets, source_col=source_col, key_col=key_col,
             seed=seed, fast=fast,
+            source_totals={r[source_col]: int(r["t"]) for r in totals},
         )
 
     _stage("sampled", _mixture)

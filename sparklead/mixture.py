@@ -127,6 +127,7 @@ def token_budget_cutoffs(
     fast: bool = True,
     num_partitions: int | None = None,
     max_sources: int = MAX_SOURCES,
+    source_totals: dict | None = None,
 ) -> DataFrame:
     """Per-source sampling cutoffs: (source, cut_ord, cut_key, kept_docs,
     kept_tokens, token_budget). EAGER — source-cardinality-sized, the
@@ -168,16 +169,42 @@ def token_budget_cutoffs(
     # nondeterministic upstream lineage could disagree with the _gcum it
     # is subtracted from (the exact double-evaluation hazard
     # distributed_cumsum's persist exists to prevent, eventlog.py).
-    totals_src = holder[0] if holder else narrow
-    off_w = Window.orderBy(source_col).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        totals_src.groupBy(source_col)
-        .agg(F.sum("_sz").alias("_t"))
-        .select(
-            source_col,
-            F.coalesce(F.sum("_t").over(off_w), F.lit(0)).alias("_soff"),
+    if source_totals is not None:
+        # round-9: callers that already aggregated the per-source token
+        # totals (every budget computation starts with exactly that agg)
+        # pass them through, and the offsets become a driver-side
+        # exclusive prefix over the source sort order — one fewer Spark
+        # job per call, same exact integers (Python's string sort equals
+        # Spark's UTF-8 binary sort: UTF-8 preserves code-point order).
+        # CONTRACT: must be the EXACT sum of ``size_col`` per source for
+        # EVERY source present in ``docs`` (not only budgeted ones —
+        # unbudgeted sources' rows still occupy the global cumsum order,
+        # so their totals shift every later source's offset).
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        acc = 0
+        rows = []
+        for s in sorted(source_totals):
+            rows.append((s, acc))
+            acc += int(source_totals[s])
+        off_schema = StructType(
+            [
+                StructField(source_col, docs.schema[source_col].dataType),
+                StructField("_soff", LongType()),
+            ]
         )
-    )
+        offsets = spark.createDataFrame(rows, off_schema)
+    else:
+        totals_src = holder[0] if holder else narrow
+        off_w = Window.orderBy(source_col).rowsBetween(Window.unboundedPreceding, -1)
+        offsets = (
+            totals_src.groupBy(source_col)
+            .agg(F.sum("_sz").alias("_t"))
+            .select(
+                source_col,
+                F.coalesce(F.sum("_t").over(off_w), F.lit(0)).alias("_soff"),
+            )
+        )
     kept = (
         g.join(F.broadcast(offsets), source_col)
         .withColumn("_cum", F.col("_gcum") - F.col("_soff"))
@@ -220,6 +247,7 @@ def sample_to_token_budget(
     fast: bool = True,
     num_partitions: int | None = None,
     max_sources: int = MAX_SOURCES,
+    source_totals: dict | None = None,
 ) -> DataFrame:
     """The pipeline verb: the sampled corpus, all original columns. One
     eager narrow prefix sum (see ``token_budget_cutoffs``), then a
@@ -227,7 +255,7 @@ def sample_to_token_budget(
     the returned frame re-runs only the filter."""
     cuts = token_budget_cutoffs(
         docs, budgets, size_col, source_col, key_col, seed, fast,
-        num_partitions, max_sources,
+        num_partitions, max_sources, source_totals,
     ).select(source_col, "cut_ord", "cut_key")
     ord_e = _order_expr(key_col, seed, fast)
     return (

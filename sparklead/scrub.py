@@ -43,11 +43,11 @@ _TERMINAL_RE = r'[.!?"]$'
 
 
 def _count(col: Column, pattern: str) -> Column:
-    """Match count via regexp_extract_all(…, 0) — group 0 (the full
-    match) on BOTH engines; NULL text counts 0."""
-    return F.coalesce(
-        F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))), F.lit(0)
-    )
+    """Match count; NULL text counts 0. Round-9: ``regexp_count`` — the
+    same non-overlapping leftmost-match count ``size(regexp_extract_all
+    (…, 0))`` produced (and what the DuckDB oracle replays), without
+    materializing the match strings."""
+    return F.coalesce(F.regexp_count(col, F.lit(pattern)), F.lit(0))
 
 
 def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -38,8 +38,11 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n_ws_tokens (whitespace) + n_bpe_tokens (BPE-ish regex pieces)."""
     t = F.col(text_col)
     df, added = _lowered_words(df, text_col)
+    # regexp_count == size(regexp_extract_all(.., 0)) — both count
+    # non-overlapping leftmost matches — without materializing the match
+    # strings (round-9)
     out = df.withColumn("n_ws_tokens", F.size("_ws_lower")).withColumn(
-        "n_bpe_tokens", F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        "n_bpe_tokens", F.regexp_count(t, F.lit(BPE_ISH_PATTERN))
     )
     return out.drop("_ws_lower") if added else out
 
@@ -82,7 +85,8 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     df, added = _lowered_words(df, text_col)
     n_chars = F.length(t)
     n_words = F.greatest(F.size("_ws_lower"), F.lit(1))
-    punct_ratio = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0))) / F.greatest(n_chars, F.lit(1)).cast("double")
+    # regexp_count: same match count, no match-array materialization (round-9)
+    punct_ratio = F.regexp_count(t, F.lit(r"[^\w\s]")) / F.greatest(n_chars, F.lit(1)).cast("double")
     mean_wlen = n_chars.cast("double") / n_words.cast("double")
     sw = _stopword_ratio_of(F.col("_ws_lower"), "en")
     len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), 1.0).otherwise(0.25)

@@ -616,7 +616,9 @@ def test_neardup_components_lineage_truncation(spark, monkeypatch, tmp_path):
         F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
     )
     spark.catalog.clearCache()
-    labels = dedup.neardup_components(pairs, max_iter=n, scratch_dir=str(tmp_path))
+    labels = dedup.neardup_components(
+        pairs, max_iter=n, scratch_dir=str(tmp_path), small_graph_edges=None
+    )
     assert {r["id"]: r["component"] for r in labels.collect()} == {i: 0 for i in range(n)}
     jsc = spark.sparkContext._jsc
     assert jsc.getPersistentRDDs().size() == 1

@@ -185,14 +185,18 @@ def test_lineage_truncator_release_and_atexit(spark, tmp_path):
 def test_neardup_components_release_hook_deep_chain(spark, tmp_path):
     """A >8-hop chain forces a lineage roundtrip; the returned frame's
     sparklead_release_scratch hook must delete the scratch AFTER the
-    caller's unpersist."""
+    caller's unpersist. Round-9: targets the distributed LOOP lane
+    explicitly (small_graph_edges=None) — the default small-graph fast
+    path resolves tiny chains driver-side and never roundtrips."""
     from sparklead.dedup import neardup_components
 
     n = 12
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "a_id long, b_id long"
     )
-    labels = neardup_components(pairs, scratch_dir=str(tmp_path / "s"))
+    labels = neardup_components(
+        pairs, scratch_dir=str(tmp_path / "s"), small_graph_edges=None
+    )
     rows = {r["id"]: r["component"] for r in labels.collect()}
     assert set(rows.values()) == {0}
     assert hasattr(labels, "sparklead_release_scratch")

@@ -97,3 +97,32 @@ def test_cosine_prenorm_bit_identical(spark):
     ).collect()
     for r in out:
         assert r["c1"] == r["c2"]  # bitwise float equality, not approx
+
+
+def test_mixture_source_totals_passthrough(spark):
+    """token_budget_cutoffs with caller-supplied exact source_totals must
+    keep the identical doc set as the internal offsets-window path —
+    including when an UNBUDGETED source's rows occupy the global cumsum
+    order (its total still shifts later sources' offsets)."""
+    import random
+
+    from sparklead.mixture import sample_to_token_budget
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"src{rng.randrange(4)}", rng.randrange(1, 40)) for i in range(3000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    totals = {
+        r["source"]: int(r["t"])
+        for r in docs.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    # budget only 3 of the 4 sources: src3 is dropped but its rows still
+    # sit in the global order
+    budgets = {s: int(t * 0.25) for s, t in totals.items() if s != "src3"}
+    for fast in (True, False):
+        a = sample_to_token_budget(docs, budgets, fast=fast)
+        b = sample_to_token_budget(docs, budgets, fast=fast, source_totals=totals)
+        ka = {r["doc_id"] for r in a.collect()}
+        kb = {r["doc_id"] for r in b.collect()}
+        assert ka == kb and len(ka) > 0

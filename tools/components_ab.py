@@ -50,7 +50,7 @@ def main(n_vertices: int, chain_len: int) -> dict:
     edges = spark.read.parquet("/tmp/sparklead_comp_ab_edges")
 
     t0 = time.time()
-    labels = neardup_components(edges, max_iter=chain_len + 2)
+    labels = neardup_components(edges, max_iter=chain_len + 2, small_graph_edges=None)
     n_components = labels.select("component").distinct().count()
     wall = time.time() - t0
     labels.unpersist()
