@@ -1172,7 +1172,7 @@ def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     token sequence, value-checked verbatim). Stats ride the md5 lane
     (fast=False — the engine-portable twin of the xxhash64 production
     lane, pinned equal in tests/test_round8b.py)."""
-    from sparklead.substrings import scrub_duplicate_substrings, substring_dup_stats
+    from sparklead.substrings import scrub_with_stats
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     w = F.split("text", " ")
@@ -1192,20 +1192,19 @@ def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(quoters).unionByName(selfrep)
     pre = _fan(corpus.select("doc_id", F.split("text", " ").alias("tokens")))
-    stats = substring_dup_stats(pre, l=8, fast=False)
-    clean = scrub_duplicate_substrings(pre, l=8, fast=False).select(
-        "doc_id",
-        F.array_join("clean_tokens", " ").alias("clean_text"),
-        "n_clean_tok",
-    )
-    return stats.join(clean, "doc_id").select(
+    # round-9: ONE detection pass feeds both the stats and the scrub
+    # columns (scrub_with_stats) — the old stats.join(clean) shape
+    # evaluated the window-detection subplan twice, once per verb branch
+    # (values bit-identical; the DuckDB oracle recomputes from scratch)
+    prof = scrub_with_stats(pre, l=8, fast=False)
+    return prof.select(
         "doc_id",
         "n_windows",
         "n_dup_windows",
         "n_dup_tokens",
         "dup_token_ppm",
         "n_clean_tok",
-        "clean_text",
+        F.array_join("clean_tokens", " ").alias("clean_text"),
     )
 
 

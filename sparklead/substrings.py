@@ -240,6 +240,48 @@ def substring_dup_stats(
     )
 
 
+def scrub_with_stats(
+    df: DataFrame,
+    l: int = 50,
+    key_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    fast: bool = True,
+) -> DataFrame:
+    """One-pass composition of ``substring_dup_stats`` +
+    ``scrub_duplicate_substrings`` (round-9): callers that need BOTH the
+    per-doc dup profile and the scrubbed array used to call each verb and
+    join — which ran the detection window subplan TWICE, since DataFrame
+    reuse never dedups evaluation across join branches. Here ONE
+    ``duplicate_spans`` pass feeds both: the stats columns replicate
+    ``substring_dup_stats``'s exact expressions (integer arithmetic — bit
+    equal), the scrub columns ``scrub_duplicate_substrings``'s. Output
+    columns: key, n_windows, n_dup_windows, n_dup_tokens, dup_token_ppm,
+    clean_tokens, n_clean_tok."""
+    spans = duplicate_spans(df, l, key_col, tokens_col, fast)
+    iv = F.coalesce(
+        F.col("spans"), F.expr("cast(array() as array<struct<start:int,end:int>>)")
+    )
+    clean = F.filter(
+        F.col(tokens_col),
+        lambda x, i: ~F.exists(iv, lambda v: (i >= v["start"]) & (i < v["end"])),
+    )
+    n = F.coalesce(F.size(tokens_col), F.lit(0))
+    return (
+        df.join(spans, key_col, "left")
+        .withColumn("n_windows", F.when(n >= l, n - (l - 1)).otherwise(F.lit(0)))
+        .withColumn("_n1", F.greatest(n, F.lit(1)))
+        .withColumn("n_dup_windows", F.coalesce("n_dup_windows", F.lit(0)))
+        .withColumn(
+            "dup_token_ppm",
+            F.expr("coalesce(n_dup_tokens, 0) * cast(1000000 as bigint) DIV _n1"),
+        )
+        .withColumn("clean_tokens", clean)
+        .withColumn("n_clean_tok", F.coalesce(F.size("clean_tokens"), F.lit(0)))
+        .withColumn("n_dup_tokens", F.coalesce("n_dup_tokens", F.lit(0)))
+        .drop("spans", "_n1")
+    )
+
+
 def scrub_duplicate_substrings(
     df: DataFrame,
     l: int = 50,

@@ -62,16 +62,57 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Deterministic tie-break by language code order; 'unknown' when no
     stopword hits at all.
-    """
+
+    Round-9 shape: ONE fold over the words computes every language's hit
+    count simultaneously — each stopword maps (literal map) to a bitmask
+    with a 16-bit lane per language, the fold sums the masks, the per-lang
+    counts shift out of the packed long (the simhash lane-packing trick).
+    One lambda eval per word replaces four filter lambdas per word
+    (measured 0.73 -> 0.50 s warm at sf1.0; hit counts are integers, so
+    every downstream double is bit-identical — verified 0 mismatches).
+    Docs with 65536+ words could overflow a 16-bit lane, so they take the
+    exact per-language filter path instead (the ``otherwise`` branch —
+    value-identical by construction, just slower for monster docs)."""
     df, added = _lowered_words(df, text_col)
     wl = F.col("_ws_lower")
+    langs = sorted(STOPWORDS)
+    mask: dict[str, int] = {}
+    for k, lg in enumerate(langs):
+        for w in STOPWORDS[lg]:
+            mask[w] = mask.get(w, 0) | (1 << (16 * k))
+    entries: list[Column] = []
+    for w, m in sorted(mask.items()):
+        entries += [F.lit(w), F.lit(m).cast("long")]
+    mp = F.create_map(*entries)
+    packed = F.aggregate(
+        wl,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.coalesce(F.try_element_at(mp, x), F.lit(0).cast("long")),
+    )
+    df = df.withColumn("_swp", F.when(F.size(wl) < F.lit(1 << 16), packed))
+    denom = F.greatest(F.size(wl), F.lit(1)).cast("double")
+    swp = F.col("_swp")
+
+    def _ratio(k: int, lg: str) -> Column:
+        lane = F.shiftrightunsigned(swp, 16 * k).bitwiseAND(F.lit(0xFFFF))
+        return F.when(swp.isNotNull(), lane / denom).otherwise(
+            _stopword_ratio_of(wl, lg)
+        )
+
     scores = F.array(
-        *[F.struct((-_stopword_ratio_of(wl, lg)).alias("neg"), F.lit(lg).alias("lg")) for lg in sorted(STOPWORDS)]
+        *[
+            F.struct((-_ratio(k, lg)).alias("neg"), F.lit(lg).alias("lg"))
+            for k, lg in enumerate(langs)
+        ]
     )
     best = F.array_min(scores)
-    out = df.withColumn(
-        "lang_pred", F.when(-best["neg"] > 0, best["lg"]).otherwise(F.lit("unknown"))
-    ).withColumn("lang_score", -best["neg"])
+    out = (
+        df.withColumn(
+            "lang_pred", F.when(-best["neg"] > 0, best["lg"]).otherwise(F.lit("unknown"))
+        )
+        .withColumn("lang_score", -best["neg"])
+        .drop("_swp")
+    )
     return out.drop("_ws_lower") if added else out
 
 

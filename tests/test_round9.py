@@ -126,3 +126,36 @@ def test_mixture_source_totals_passthrough(spark):
         ka = {r["doc_id"] for r in a.collect()}
         kb = {r["doc_id"] for r in b.collect()}
         assert ka == kb and len(ka) > 0
+
+
+def test_scrub_with_stats_matches_two_verb_join(spark):
+    """The one-pass scrub_with_stats must equal substring_dup_stats JOIN
+    scrub_duplicate_substrings column-for-column (both lanes)."""
+    from sparklead.substrings import (
+        scrub_duplicate_substrings,
+        scrub_with_stats,
+        substring_dup_stats,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j k a b c d e f g h i j".split()),
+        (2, "a b c d e f g h i j x y z".split()),  # quotes doc 1's window
+        (3, "short doc".split()),
+        (4, None),
+        (5, []),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    for fast in (True, False):
+        combined = scrub_with_stats(df, l=8, fast=fast)
+        stats = substring_dup_stats(df, l=8, fast=fast)
+        clean = scrub_duplicate_substrings(df, l=8, fast=fast).select(
+            "doc_id", "clean_tokens", "n_clean_tok"
+        )
+        ref = stats.join(clean, "doc_id")
+        cols = [
+            "doc_id", "n_windows", "n_dup_windows", "n_dup_tokens",
+            "dup_token_ppm", "n_clean_tok", "clean_tokens",
+        ]
+        a = {tuple(str(r[c]) for c in cols) for r in combined.select(cols).collect()}
+        b = {tuple(str(r[c]) for c in cols) for r in ref.select(cols).collect()}
+        assert a == b
