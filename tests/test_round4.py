@@ -202,14 +202,20 @@ def test_dim_param_skips_probe_job(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     dim = len(emb.first()["embedding"])
     tracker = spark.sparkContext.statusTracker()
+    sc = spark.sparkContext
 
-    before = len(tracker.getJobIdsForGroup())
+    # round-9 fix: count jobs in a FRESH job group per construction — the
+    # old before/after length diff over the default group broke once the
+    # suite's total job count crossed spark.ui.retainedJobs (old ids are
+    # evicted between the two length reads, making the diff negative)
+    sc.setJobGroup("r4_probe_with_dim", "dim supplied")
     embedding_neardup_candidates(emb, dim=dim)  # plan construction only
-    with_dim = len(tracker.getJobIdsForGroup()) - before
+    with_dim = len(tracker.getJobIdsForGroup("r4_probe_with_dim"))
 
-    before = len(tracker.getJobIdsForGroup())
+    sc.setJobGroup("r4_probe_without_dim", "dim probed")
     embedding_neardup_candidates(emb)
-    without_dim = len(tracker.getJobIdsForGroup()) - before
+    without_dim = len(tracker.getJobIdsForGroup("r4_probe_without_dim"))
+    sc.setJobGroup(None, None)
 
     assert with_dim == 1  # plane_weights only
     assert without_dim == 2  # + the dim probe
