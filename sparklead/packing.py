@@ -126,24 +126,54 @@ def pack_assignments(
     out_schema = StructType(
         list(narrow.schema.fields) + [StructField(PACK_ID, LongType(), False)]
     )
-    order = list(order_cols)
+    bcols = list(bucket_cols)
 
-    def walk(pdf):
-        pdf = pdf.sort_values(order, kind="mergesort", ignore_index=True)
-        run, pid, ids = 0, 0, []
-        for n in pdf[size_col]:
-            n = int(n)
-            if run > 0 and run + n > max_tokens:
-                pid += 1
-                run = 0
-            ids.append(pid)
-            run += n
-        pdf[PACK_ID] = ids
-        return pdf
+    # Round-9 lane shape: repartition by the bucket keys (each bucket
+    # wholly in one partition — the same exchange applyInPandas' groupBy
+    # paid), sort within partitions by (bucket, order), then ONE
+    # mapInPandas pass whose generator carries the walk state across
+    # Arrow batches and resets it at bucket boundaries. The walk itself is
+    # unchanged row-for-row (pinned by the gated RECURSIVE-CTE oracle, the
+    # test_round7 window-SQL certification and the A/B pin in
+    # tests/test_round9.py); what changes is the per-GROUP overhead —
+    # applyInPandas materialized one pandas frame per (source, salt)
+    # bucket (512 frames of ~400 rows at the bench size, ~2 ms each of
+    # sort_values/assign/concat overhead), the partition pass handles all
+    # of a partition's buckets in a few batch-sized frames. Measured
+    # 2.32 -> 0.97 s on the assignments subplan at 200k docs. Buckets
+    # cannot straddle partitions (hash partitioning) and arrive contiguous
+    # (the sort), so the boundary reset reproduces the per-bucket walk
+    # exactly; determinism is unchanged (explicit total order per bucket).
+    def walk(batches):
+        prev_key = None
+        run = 0
+        pid = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sizes = pdf[size_col].to_numpy()
+            key_arrs = [pdf[c].to_numpy() for c in bcols]
+            ids = []
+            for i in range(len(pdf)):
+                k = tuple(a[i] for a in key_arrs)
+                n = int(sizes[i])
+                if k != prev_key:
+                    prev_key = k
+                    pid = 0
+                    run = 0
+                elif run > 0 and run + n > max_tokens:
+                    pid += 1
+                    run = 0
+                ids.append(pid)
+                run += n
+            out = pdf.copy()
+            out[PACK_ID] = ids
+            yield out
 
     return (
-        narrow.groupBy(*bucket_cols)
-        .applyInPandas(walk, schema=out_schema)
+        narrow.repartition(*[F.col(c) for c in bcols])
+        .sortWithinPartitions(*bcols, *order_cols)
+        .mapInPandas(walk, schema=out_schema)
         .drop(size_col)
     )
 

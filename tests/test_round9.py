@@ -159,3 +159,58 @@ def test_scrub_with_stats_matches_two_verb_join(spark):
         a = {tuple(str(r[c]) for c in cols) for r in combined.select(cols).collect()}
         b = {tuple(str(r[c]) for c in cols) for r in ref.select(cols).collect()}
         assert a == b
+
+
+def test_pack_assignments_partition_pass_matches_grouped_walk(spark):
+    """The round-9 mapInPandas partition pass must assign the exact pack
+    ids the per-group applyInPandas walk did — including buckets that span
+    several Arrow batches (forced via a tiny maxRecordsPerBatch) and salt
+    composition."""
+    import random
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from sparklead.packing import PACK_ID, pack_assignments
+
+    rng = random.Random(11)
+    rows = [
+        (i, f"s{rng.randrange(3)}", rng.randrange(1, 40)) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+
+    # reference: the pre-round-9 grouped walk, inlined
+    narrow = df.select("source", "doc_id", "n_tok")
+    schema = StructType(
+        list(narrow.schema.fields) + [StructField(PACK_ID, LongType(), False)]
+    )
+
+    def ref_walk(pdf):
+        pdf = pdf.sort_values(["doc_id"], kind="mergesort", ignore_index=True)
+        run, pid, ids = 0, 0, []
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if run > 0 and run + n > 64:
+                pid += 1
+                run = 0
+            ids.append(pid)
+            run += n
+        pdf[PACK_ID] = ids
+        return pdf
+
+    ref = (
+        narrow.groupBy("source").applyInPandas(ref_walk, schema=schema).drop("n_tok")
+    )
+    got = pack_assignments(df, 64, ("source",), ("doc_id",))
+    key = lambda r: (r["source"], r["doc_id"])
+    a = {key(r): r[PACK_ID] for r in ref.collect()}
+    b = {key(r): r[PACK_ID] for r in got.collect()}
+    assert a == b and len(a) == 5000
+
+    # batch-boundary robustness: recompute with 500-row Arrow batches
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        c = {key(r): r[PACK_ID] for r in pack_assignments(df, 64, ("source",), ("doc_id",)).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert c == a
