@@ -149,7 +149,11 @@ def bpe_train(
         new_id_start = int(mx or 0) + 1
     trunc = LineageTruncator(scratch_dir, prefix="sparklead_bpe")
     merges: list[tuple[int, int, int]] = []
-    cur = df
+    # fresh frame up front (round-8 advisor): when n_merges == 0 or the
+    # min_count early-stop fires before the first merge, the
+    # sparklead_release_scratch attribute below must never land on the
+    # CALLER's input object
+    cur = df.select("*")
     for i in range(n_merges):
         top = (
             bpe_pair_counts(cur, tokens_col)

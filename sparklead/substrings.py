@@ -214,7 +214,12 @@ def substring_dup_stats(
     (the north-rule shape): the base branch then projects only
     (key, n_tok) and parquet PRUNES the token payload from that scan —
     the round-8 packing decision-lane lesson; only the hashing branch
-    reads the payload."""
+    reads the payload. HARD PRECONDITION (round-8 advisor note): the
+    column must satisfy ``n_tok == size(tokens)`` exactly — the detection
+    lane hashes the actual array while n_windows/_n1 trust the scalar, so
+    a drifted count silently yields an internally inconsistent profile
+    (n_dup_windows can exceed n_windows, dup_token_ppm skews) with no
+    error."""
     spans = duplicate_spans(df, l, key_col, tokens_col, fast).drop("spans")
     n = (
         F.coalesce(F.col(n_tok_col).cast("int"), F.lit(0))
