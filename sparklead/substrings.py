@@ -263,12 +263,17 @@ def scrub_with_stats(
     columns: key, n_windows, n_dup_windows, n_dup_tokens, dup_token_ppm,
     clean_tokens, n_clean_tok."""
     spans = duplicate_spans(df, l, key_col, tokens_col, fast)
-    iv = F.coalesce(
-        F.col("spans"), F.expr("cast(array() as array<struct<start:int,end:int>>)")
-    )
-    clean = F.filter(
-        F.col(tokens_col),
-        lambda x, i: ~F.exists(iv, lambda v: (i >= v["start"]) & (i < v["end"])),
+    iv = F.col("spans")
+    # spans NULL (the left-join miss) == no duplicate coverage: return the
+    # array untouched instead of running the indexed filter with an empty
+    # interval list — most corpus docs are clean, and the per-token lambda
+    # was the scrub projection's whole cost for them (round-9; values
+    # identical — filtering against zero intervals keeps every token)
+    clean = F.when(iv.isNull(), F.col(tokens_col)).otherwise(
+        F.filter(
+            F.col(tokens_col),
+            lambda x, i: ~F.exists(iv, lambda v: (i >= v["start"]) & (i < v["end"])),
+        )
     )
     n = F.coalesce(F.size(tokens_col), F.lit(0))
     return (
@@ -304,12 +309,13 @@ def scrub_duplicate_substrings(
     co-shuffles once through the key join — see the module docstring for
     the stats-only escape hatch."""
     spans = duplicate_spans(df, l, key_col, tokens_col, fast).select(key_col, "spans")
-    iv = F.coalesce(
-        F.col("spans"), F.expr("cast(array() as array<struct<start:int,end:int>>)")
-    )
-    clean = F.filter(
-        F.col(tokens_col),
-        lambda x, i: ~F.exists(iv, lambda v: (i >= v["start"]) & (i < v["end"])),
+    iv = F.col("spans")
+    # NULL spans == clean doc: skip the indexed filter (see scrub_with_stats)
+    clean = F.when(iv.isNull(), F.col(tokens_col)).otherwise(
+        F.filter(
+            F.col(tokens_col),
+            lambda x, i: ~F.exists(iv, lambda v: (i >= v["start"]) & (i < v["end"])),
+        )
     )
     return (
         df.join(spans, key_col, "left")
